@@ -1,0 +1,178 @@
+"""Partitioned Bloom-filter URL-seen set.
+
+The reference's durable URL-seen set is a PostgreSQL unique index probed
+point-wise and via IN-lists (reference: app/utils/db_utils.py:20-76,
+app/core/models.py:52,68).  At a 10^10-URL frontier an exact index probe
+per candidate is the bottleneck, so the engine splits the seen set into
+``num_shards`` Bloom-filter shards keyed by ``pmod(url_hash, num_shards)``:
+
+* **probe** — candidates are pre-screened against their shard's bitset in
+  one vectorized numpy pass per Arrow batch (``mapInPandas``).  A negative
+  is definitive (Bloom has no false negatives) → the URL is certainly new
+  and skips the exact join.  A positive is *maybe seen* → only those rows
+  proceed to the exact ``left_anti`` join against the ``seen_urls`` table.
+  At a ~1% FPR the exact join probes ~1% + true-dup% of candidates instead
+  of 100%.
+* **build** — newly admitted URLs are merged into their shard's bitset via
+  ``applyInPandas`` grouped by shard (one task per shard, each OR-ing k bit
+  positions into its own bitset).  Shard state lives in the ``seen_filters``
+  snapshot table ``(shard int, bitset binary, n_items long, updated_wave
+  int)`` so resume restores the filters together with the exact table.
+
+Sizing (config.CrawlConfig): at 10^10 URLs, 4096 shards x 2^30-bit bitsets
+(128 MiB each) with k=7 gives m/n ~ 4400/2.4M per shard... concretely
+m = 2^30, n = 10^10/4096 ~ 2.44e6 -> m/n ~ 440, FPR ~ (1-e^{-kn/m})^k
+~ 1e-15; even 2^27 bits/shard keeps FPR < 1e-4.  Tests use tiny shards;
+the arithmetic is identical.
+
+Bit positions use double hashing h_i = h1 + i*h2 (Kirsch-Mitzenmacher)
+derived from the 64-bit url_hash via splitmix64 finalizers — no string
+re-hashing executor-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FILTER_SCHEMA = "shard int, bitset binary, n_items long, updated_wave int"
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — public-domain mixing constants."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _bit_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing from the 64-bit url_hash."""
+    h = hashes.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd -> full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & _MASK) % np.uint64(m_bits)
+
+
+def _set_bits(bitset: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bitset, flat >> np.uint64(3),
+                     np.left_shift(np.uint8(1), (flat & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bitset: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """row-wise AND over k probes -> boolean maybe-member per row."""
+    byte = bitset[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    return ((byte & bit) != 0).all(axis=1)
+
+
+def shard_of(url_hash_col, num_shards: int):
+    return F.pmod(url_hash_col, F.lit(num_shards)).cast("int")
+
+
+def build_filters(
+    new_urls: DataFrame,
+    prior_filters: DataFrame | None,
+    *,
+    num_shards: int,
+    m_bits: int,
+    k: int,
+    wave: int,
+) -> DataFrame:
+    """Merge new url_hashes into per-shard bitsets.
+
+    ``new_urls`` needs a ``url_hash`` column.  Returns the FULL replacement
+    ``seen_filters`` content (all shards, updated), computed with one
+    ``applyInPandas`` task per shard — the shard is the unit of parallelism,
+    exactly how a 4096-shard production build spreads over executors.
+    """
+    spark = new_urls.sparkSession
+    # url_hash rides as a string: the right-join below introduces nulls, and
+    # a nullable long surfaces in pandas as float64, which silently corrupts
+    # hashes above 2^53 (false negatives!) — strings round-trip exactly.
+    hashed = new_urls.select(
+        shard_of(F.col("url_hash"), num_shards).alias("shard"),
+        F.col("url_hash").cast("string").alias("url_hash_str"),
+    )
+    if prior_filters is None:
+        prior_filters = spark.createDataFrame(
+            [(s, bytes(m_bits // 8), 0, -1) for s in range(num_shards)],
+            schema=FILTER_SCHEMA,
+        )
+    prior = prior_filters.select(
+        "shard", F.col("bitset").alias("prior_bitset"), F.col("n_items").alias("prior_n")
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        prior_rows = pdf["prior_bitset"].dropna()
+        if len(prior_rows):
+            bitset = np.frombuffer(prior_rows.iloc[0], np.uint8).copy()
+            n = int(pdf["prior_n"].dropna().iloc[0])
+        else:  # pragma: no cover - shards are pre-seeded above
+            bitset = np.zeros(m_bits // 8, np.uint8)
+            n = 0
+        raw = pdf["url_hash_str"].dropna()
+        hashes = np.array([int(v) for v in raw], dtype=np.int64)
+        if len(hashes):
+            _set_bits(bitset, _bit_positions(hashes, k, m_bits))
+        return pd.DataFrame(
+            {"shard": [shard], "bitset": [bitset.tobytes()],
+             "n_items": [n + len(hashes)], "updated_wave": [wave]}
+        )
+
+    # right join keeps every shard row even when it gained no URLs this wave
+    joined = hashed.join(prior, "shard", "right")
+    return joined.groupBy("shard").applyInPandas(merge, schema=FILTER_SCHEMA)
+
+
+def probe_filters(
+    candidates: DataFrame,
+    filters: DataFrame | None,
+    *,
+    num_shards: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Add boolean ``maybe_seen`` to candidates (needs ``url_hash``).
+
+    Bitsets ride along via a shard-key equi-join (broadcast: ``num_shards``
+    rows).  False => certainly new; True => must pass the exact anti-join.
+    """
+    if filters is None:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+    flt = F.broadcast(filters.select("shard", "bitset"))
+    with_shard = candidates.withColumn(
+        "__shard", shard_of(F.col("url_hash"), num_shards)
+    ).join(flt, F.col("__shard") == F.col("shard"), "left")
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            maybe = np.zeros(len(pdf), bool)
+            hashes = pdf["url_hash"].to_numpy(np.int64)
+            for bs, idx in pdf.groupby("bitset", sort=False).groups.items():
+                bitset = np.frombuffer(bs, np.uint8)
+                ix = np.asarray(idx)
+                maybe[ix] = _test_bits(
+                    bitset, _bit_positions(hashes[ix], k, m_bits)
+                )
+            out = pdf[cand_cols].copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    return with_shard.mapInPandas(probe, schema=out_schema)

@@ -1,0 +1,110 @@
+"""Politeness budgets, robots gating, hot-host skew salting.
+
+The reference bounds load with a single ``asyncio.Semaphore(SCRAPER_
+CONCURRENCY)`` (reference: app/scraper/autoria.py:216,221) plus a 1 s
+inter-page sleep (autoria.py:341) and phone-XHR jitter (parsers/
+car_page.py:272,295,298).  The engine's analogue is *per-host per-wave
+fetch budgets*: of all eligible frontier rows of a kind, at most B per
+host are fetched in a wave; the rest stay queued.  Listing budget is 1 —
+that serializes pagination per host exactly like the reference's
+sequential while-loop, which is what makes crawl order reproducible.
+
+Scale shape: a plain ``row_number() OVER (PARTITION BY host ...)`` puts
+one host's entire pending set through a single window partition — at
+10^10 URLs on a hot host (auto.ria.com) that is THE skew bottleneck.  So
+top-B-per-host runs in two phases:
+
+  phase 1: salt = pmod(url_hash, salt_n)  (salt_n sized so each salted
+           group holds <= ~salt_target rows); per-(host, salt) top-B via
+           window — bounded partitions, fully parallel;
+  phase 2: global per-host top-B over the <= salt_n*B phase-1 survivors —
+           tiny by construction.
+
+B is small (SCRAPER_CONCURRENCY ~ 5), so phase 2 sees at most a few
+thousand rows per host regardless of frontier size.
+
+Robots gating is an engine addition the north rule requires (the
+reference has none): a small broadcast rules table (host, path_prefix,
+allowed) filters URLs before they are fetched or admitted to `seen`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_b_per_host(
+    df: DataFrame,
+    budget: int,
+    order_cols: list[str],
+    *,
+    salt_n: int = 64,
+    salted_threshold: int = 10_000,
+) -> DataFrame:
+    """Deterministic top-``budget`` rows per host, ordered by ``order_cols``.
+
+    Two-phase salted top-k (see module docstring).  ``order_cols`` must be a
+    total order within a host (we use the crawl-order key) so the selection
+    is reproducible run-over-run.
+    """
+    order = [F.col(c) for c in order_cols]
+    if budget <= 0:
+        return df.limit(0)
+    # phase 1: salted pre-top-B (bounded window partitions)
+    salted = df.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= budget)
+        .drop("__r1", "__salt")
+    )
+    # phase 2: exact per-host top-B over <= salt_n * budget survivors
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= budget)
+        .drop("__r2")
+    )
+
+
+def robots_gate(df: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop rows whose (host, path-prefix) a robots rule disallows.
+
+    ``robots`` columns: host, path_prefix, allowed(boolean).  The most
+    specific (longest) matching prefix wins; no match => allowed.  The
+    rules table is tiny (per-host robots.txt digests) => broadcast join.
+    Applied BEFORE fetch and BEFORE seen-admission so disallowed URLs are
+    never fetched and never enter the seen set (north_rule / FIXTURES §5).
+    """
+    if robots is None:
+        return df
+    rules = F.broadcast(
+        robots.select(
+            F.col("host").alias("__rhost"),
+            F.col("path_prefix").alias("__rprefix"),
+            F.col("allowed").alias("__rallowed"),
+        )
+    )
+    from auto_ria_spark.functions.urls import url_path
+
+    joined = df.withColumn("__path", url_path(F.col("url_norm"))).join(
+        rules,
+        (F.col("host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("__rprefix")),
+        "left",
+    )
+    # longest matching prefix wins; rows with no match have null => allowed
+    verdict = joined.groupBy(*df.columns).agg(
+        F.max_by(
+            F.coalesce(F.col("__rallowed"), F.lit(True)),
+            F.coalesce(F.length("__rprefix"), F.lit(-1)),
+        ).alias("__allowed")
+    )
+    return verdict.filter(F.col("__allowed")).drop("__allowed")
+
+
+def salt_counts(df: DataFrame) -> DataFrame:
+    """Per-host pending counts — drives salt_n sizing + the skew monitor
+    (engine metric; the reference has a single host by construction)."""
+    return df.groupBy("host").agg(F.count("*").alias("pending"))

@@ -1,0 +1,769 @@
+"""Named queries over the driver testdata + their DuckDB oracle SQL.
+
+Two families:
+
+1. **Crawl-operator parity** — every scalar/relational operator from
+   SURVEY.md §2 (URL canonicalization, pagination, phone normalization,
+   field extraction, first-occurrence dedup, seen anti-join, politeness
+   top-B, VIN dedup, metrics rollups) exercised over the TPC-H-ish tables
+   so the independent DuckDB oracle can validate semantics end-to-end.
+2. **Training-data pipeline ops** — exact dedup, MinHash signatures +
+   LSH candidate pairs, SimHash, word-set Jaccard near-dup, brute-force
+   and LSH-bucketed embedding cosine top-k, language/quality/token text
+   analysis, document fingerprinting — the operations a 100 TB corpus
+   pipeline needs, each with a SQL oracle.
+
+Design rules: everything is built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs; floats are rounded before they are
+compared or used as ordering keys so Spark and DuckDB agree bit-for-bit;
+every computed column is aliased identically in the Spark plan and the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from auto_ria_spark.functions import extract as X
+from auto_ria_spark.functions import urls as U
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# 1. crawl-operator parity
+# =========================================================================
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalizer (SURVEY §2.2 / engine addition): messy spelling ->
+    canonical form + host + page number, over synthesized listing URLs."""
+    o = load(spark, sf_dir, "orders")
+    messy = F.concat(
+        F.lit("  https://Auto.RIA.test:443/search/?page="),
+        F.col("o_orderkey").cast("string"), F.lit("&countpage=100#frag "))
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        U.canonicalize_url(messy).alias("url_norm"),
+        U.url_host(U.canonicalize_url(messy)).alias("host"),
+        U.page_number(U.canonicalize_url(messy)).alias("page_no"),
+    )
+
+
+def q_url_next_page(spark, sf_dir):
+    """P13 pagination: page param + 1 (reference: search_page.py:80-118)."""
+    o = load(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://auto.ria.test/search/?countpage=100&page="),
+                   (F.col("o_orderkey") % 50).cast("string"))
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        U.next_page_url(url).alias("next_url"),
+    )
+
+
+def q_phone_normalize(spark, sf_dir):
+    """P6 phone normalization truth table (reference: car_page.py:128-151)
+    over three synthesized formats cycling on c_custkey."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v0 = F.concat(F.lit("(0"), (50 + k % 48).cast("string"), F.lit(") "),
+                  (100 + k % 900).cast("string"), F.lit("-"),
+                  (10 + k % 90).cast("string"), F.lit("-"),
+                  (10 + (k * 3) % 90).cast("string"))
+    v1 = F.concat(F.lit("380"), (500000000 + k % 400000000).cast("string"))
+    v2 = F.concat(F.lit("ext. "), (k % 1000).cast("string"))
+    raw = F.when(k % 3 == 0, v0).when(k % 3 == 1, v1).otherwise(v2)
+    return c.select(
+        k.alias("ckey"),
+        raw.alias("phone_raw"),
+        X.normalize_phone(raw).alias("phone_number"),
+    )
+
+
+def q_extract_fields(spark, sf_dir):
+    """P2/P3/P4/P8/P9 field extraction over a synthesized payload JSON —
+    the parser layer's exact rules vs directly-computed oracle values."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    payload = F.to_json(F.struct(
+        F.concat(F.lit("Order "), k.cast("string")).alias("title_h1"),
+        F.concat(F.floor("o_totalprice").cast("long").cast("string"),
+                 F.lit(" $")).alias("price_text"),
+        F.when(k % 2 == 0,
+               F.concat((k % 300).cast("string"), F.lit(" тис. км")))
+        .otherwise(F.concat(((k % 300) * 1000).cast("string"),
+                            F.lit(" км"))).alias("odometer_text"),
+        F.when(k % 5 != 0,
+               F.concat(F.lit("все "), (2 + k % 40).cast("string"),
+                        F.lit(" фот"))).alias("show_all_text"),
+        F.lit("https://cdn.test/x.jpg").alias("image_main"),
+        F.concat(F.lit("AB "), (1000 + k % 9000).cast("string"),
+                 F.lit(" CK")).alias("plate_text"),
+    ))
+    img = X.extract_image_url(payload)
+    return o.select(
+        k.alias("okey"),
+        X.extract_title(payload).alias("title"),
+        X.extract_price_usd(payload).alias("price_usd"),
+        X.extract_odometer(payload).alias("odometer"),
+        X.extract_images_count(payload, img).alias("images_count"),
+        X.extract_car_number(payload).alias("car_number"),
+    )
+
+
+def q_first_occurrence_dedup(spark, sf_dir):
+    """F1 first-occurrence dedup (reference: autoria.py:266-271): first
+    (orderkey, linenumber) sighting of each part, in scan order."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_partkey").alias("partkey"),
+                F.col("l_orderkey").alias("first_orderkey"),
+                F.col("l_linenumber").alias("first_linenumber"))
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """F2/J2 seen-set anti-join (reference: db_utils.py:48-76): customers
+    with no orders = frontier rows not in the seen set."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+               "c_custkey", "left_anti")
+        .select(F.col("c_custkey").alias("ckey"), F.col("c_name").alias("name"))
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """C1 per-host politeness budget as salted two-phase top-B (operators/
+    politeness.top_b_per_host) — validated against a plain SQL window."""
+    from auto_ria_spark.operators.politeness import top_b_per_host
+    e = load(spark, sf_dir, "events")
+    df = e.select(
+        F.col("event_type").alias("host"),
+        F.col("ts"), F.col("event_id"),
+        F.xxhash64(F.col("event_id").cast("string")).alias("url_hash"),
+    )
+    picked = top_b_per_host(df, 5, ["ts", "event_id"], salt_n=8)
+    return picked.select(F.col("host").alias("event_type"), "event_id")
+
+
+def q_vin_dedup(spark, sf_dir):
+    """J4 VIN dedup, lowest crawl rank wins (reference: db_utils.py:130-141):
+    one lineitem per suppkey keeping min (orderkey, linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_suppkey").alias("suppkey"),
+                F.col("l_orderkey").alias("kept_orderkey"),
+                F.round(F.col("l_extendedprice"), 2).alias("kept_price"))
+    )
+
+
+def q_crawl_metrics(spark, sf_dir):
+    """A1 run-stats rollup (reference: autoria.py:354-358)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (streaming-shaped; wave analogue)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                  F.col("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (partial-agg / codegen showcase)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.count("*").alias("count_order"))
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Broadcast-dim star join: revenue per nation (broadcast customer+nation)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+# =========================================================================
+# 2. training-data pipeline ops (documents / embeddings)
+# =========================================================================
+def _words(col):
+    return F.split(col, " ")
+
+
+def _md5_long(col):
+    """First 15 hex digits of md5 as bigint — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keep min doc_id per md5(text)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        d.withColumn("content_md5", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_md5")
+    )
+
+
+def _shingles(d):
+    """Word 3-shingles in document order (doc_id, shingle)."""
+    words = _words(F.col("text"))
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
+        " split(text, ' ')[i+1]))")
+    return d.select("doc_id", F.explode(sh).alias("shingle")), words
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8) over word 3-shingles — the near-dup
+    primitive.  h_j(s) = md5_long(j || ':' || s); signature = min per j."""
+    d = load(spark, sf_dir, "documents")
+    sh, _ = _shingles(d)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        F.col("shingle"),
+    ).select(
+        "doc_id", "j",
+        _md5_long(F.concat(F.col("j").cast("string"), F.lit(":"),
+                           F.col("shingle"))).alias("h"))
+    return (
+        seeded.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    )
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: band the k=8 signature into 4 bands
+    of 2, bucket-join docs sharing any band value (a < b)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("j") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat(F.col("j").cast("string"), F.lit("="),
+                     F.col("minhash").cast("string")))))).alias("band_key"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document over word hashes (near-dup fingerprint)."""
+    d = load(spark, sf_dir, "documents")
+    wdf = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    wh = wdf.select("doc_id", _md5_long(F.col("w")).alias("h"))
+    bits = wh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("h"))
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("v"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)"))
+                   .otherwise(0)).alias("simhash"))
+    )
+
+
+def q_jaccard_near_dup(spark, sf_dir):
+    """Word-set Jaccard similarity for same-source doc pairs (>= 0.5)."""
+    d = load(spark, sf_dir, "documents")
+    wd = d.select("source", "doc_id",
+                  F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
+    sizes = wd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = wd.select("source", F.col("doc_id").alias("doc_a"), "w")
+    b = wd.select("source", F.col("doc_id").alias("doc_b"), "w")
+    common = (
+        a.join(b, ["source", "w"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (vec_id < 20) — the ANN
+    baseline.  Rounded before ranking so Spark/DuckDB agree exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    norms = vecs.select(
+        "vec_id", "emb", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    q = norms.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"))
+    c = norms.select(F.col("vec_id").alias("cand_id"),
+                     F.col("emb").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                F.round(_dot(F.col("qe"), F.col("ce"))
+                        / (F.col("qn") * F.col("cn")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "cand_id", "cos", "rnk")
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dims; top-3
+    per query within its bucket — the scale path (join per bucket, never
+    all-pairs)."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.element_at(F.col("embedding"), d + 1) > 0,
+                F.lit(1 << d)).otherwise(0) for d in range(8)),
+        start=F.lit(0))
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"),
+                    bucket.alias("bucket"))
+    norms = vecs.select("vec_id", "bucket", "emb",
+                        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    q = norms.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket"),
+        F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
+    c = norms.select(F.col("vec_id").alias("cand_id"), F.col("bucket"),
+                     F.col("emb").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                F.round(_dot(F.col("qe"), F.col("ce"))
+                        / (F.col("qn") * F.col("cn")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "cand_id", "cos", "rnk")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, stopword ratio,
+    uppercase ratio — the corpus-filtering primitive."""
+    d = load(spark, sf_dir, "documents")
+    toks = _words(F.col("text"))
+    stop = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round((F.length("text") - F.size(toks) + 1)
+                / F.size(toks), 4).alias("mean_tok_len"),
+        F.round(stop / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-based language scoring (n-gram-heuristic shape): per doc the
+    count of per-language marker tokens + the argmax language."""
+    d = load(spark, sf_dir, "documents")
+    toks = _words(F.col("text"))
+    en = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of")))
+    tech = F.size(F.filter(toks, lambda w: w.isin("spark", "sql", "query")))
+    return d.select(
+        "doc_id",
+        en.alias("en_markers"),
+        tech.alias("tech_markers"),
+        F.when(en >= tech, F.lit("en_like")).otherwise(F.lit("tech_like"))
+        .alias("guess"),
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)))
+        .alias("bpe_pieces"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Positional rolling-hash document fingerprint (content drift
+    detection): sum over words of (md5_long(w) % 1e6) * (pos % 997)."""
+    d = load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+    return (
+        pos.select("doc_id",
+                   ((_md5_long(F.col("w")) % 1000000)
+                    * ((F.col("pos") + 1) % 997)).alias("t"))
+        .groupBy("doc_id")
+        .agg((F.sum("t") % 2147483647).alias("fingerprint"))
+    )
+
+
+# =========================================================================
+# oracle SQL (DuckDB) — one per query above
+# =========================================================================
+_ORACLES: dict[str, str] = {
+    "url_canonicalize": """
+        SELECT o_orderkey AS okey,
+               'https://auto.ria.test/search/?countpage=100&page=' || o_orderkey AS url_norm,
+               'auto.ria.test' AS host,
+               o_orderkey::INT AS page_no
+        FROM orders
+    """,
+    "url_next_page": """
+        SELECT o_orderkey AS okey,
+               'https://auto.ria.test/search/?countpage=100&page=' ||
+               ((o_orderkey % 50) + 1) AS next_url
+        FROM orders
+    """,
+    "phone_normalize": """
+        WITH raw AS (
+          SELECT c_custkey AS ckey,
+                 CASE
+                   WHEN c_custkey % 3 = 0 THEN
+                     '(0' || (50 + c_custkey % 48) || ') ' ||
+                     (100 + c_custkey % 900) || '-' || (10 + c_custkey % 90)
+                     || '-' || (10 + (c_custkey * 3) % 90)
+                   WHEN c_custkey % 3 = 1 THEN
+                     '380' || (500000000 + c_custkey % 400000000)
+                   ELSE 'ext. ' || (c_custkey % 1000)
+                 END AS phone_raw
+          FROM customer
+        ), d AS (
+          SELECT ckey, phone_raw, regexp_replace(phone_raw, '[^0-9]', '', 'g') AS dg
+          FROM raw
+        )
+        SELECT ckey, phone_raw,
+               CASE
+                 WHEN dg LIKE '0%' AND length(dg) >= 10 THEN '+380' || substr(dg, 2)
+                 WHEN dg LIKE '380%' AND length(dg) >= 12 THEN '+' || dg
+                 ELSE '+' || dg
+               END AS phone_number
+        FROM d
+    """,
+    "extract_fields": """
+        SELECT o_orderkey AS okey,
+               'Order ' || o_orderkey AS title,
+               floor(o_totalprice)::INT AS price_usd,
+               ((o_orderkey % 300) * 1000)::INT AS odometer,
+               (CASE WHEN o_orderkey % 5 <> 0 THEN 2 + o_orderkey % 40
+                     ELSE 1 END)::INT AS images_count,
+               'AB' || (1000 + o_orderkey % 9000) || 'CK' AS car_number
+        FROM orders
+    """,
+    "first_occurrence_dedup": """
+        SELECT l_partkey AS partkey,
+               l_orderkey AS first_orderkey,
+               l_linenumber AS first_linenumber
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY l_orderkey, l_linenumber) = 1
+    """,
+    "seen_anti_join": """
+        SELECT c_custkey AS ckey, c_name AS name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "politeness_topk": """
+        SELECT event_type, event_id
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) <= 5
+    """,
+    "vin_dedup": """
+        SELECT l_suppkey AS suppkey, l_orderkey AS kept_orderkey,
+               round(l_extendedprice, 2) AS kept_price
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_orderkey, l_linenumber) = 1
+    """,
+    "crawl_metrics": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "tpch_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "nation_revenue": """
+        SELECT n_name AS nation, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "dedup_exact": """
+        SELECT doc_id, md5(text) AS content_md5
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    "minhash_signatures": """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id, ws[i::INT] || ' ' || ws[i::INT + 1] || ' ' ||
+                 ws[i::INT + 2] AS shingle
+          FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+        ), seeded AS (
+          SELECT doc_id, j::INT AS j,
+                 ('0x' || substr(md5(j || ':' || shingle), 1, 15))::BIGINT AS h
+          FROM sh, unnest(generate_series(0, 7)) AS s(j)
+        )
+        SELECT doc_id, j, min(h) AS minhash FROM seeded GROUP BY doc_id, j
+    """,
+    "lsh_candidate_pairs": """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id, ws[i::INT] || ' ' || ws[i::INT + 1] || ' ' ||
+                 ws[i::INT + 2] AS shingle
+          FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+        ), seeded AS (
+          SELECT doc_id, j::INT AS j,
+                 ('0x' || substr(md5(j || ':' || shingle), 1, 15))::BIGINT AS h
+          FROM sh, unnest(generate_series(0, 7)) AS s(j)
+        ), sig AS (
+          SELECT doc_id, j, min(h) AS minhash FROM seeded GROUP BY doc_id, j
+        ), bands AS (
+          SELECT doc_id, (j // 2)::INT AS band,
+                 md5(string_agg(j || '=' || minhash, ',' ORDER BY j || '=' || minhash))
+                 AS band_key
+          FROM sig GROUP BY doc_id, (j // 2)::INT
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "simhash": """
+        WITH wh AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+          FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        ), votes AS (
+          SELECT doc_id, b::INT AS b,
+                 sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM wh, unnest(generate_series(0, 15)) AS s(b)
+          GROUP BY doc_id, b::INT
+        )
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "jaccard_near_dup": """
+        WITH wd AS (
+          SELECT DISTINCT source, doc_id, w
+          FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM wd GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM wd a JOIN wd b ON a.source = b.source AND a.w = b.w
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE round(c / (na.n + nb.n - c), 4) >= 0.5
+    """,
+    "cosine_topk": """
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cos
+          FROM v q, v c
+          WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= 5
+    """,
+    "ann_lsh_buckets": """
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cos
+          FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 50
+        )
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """,
+    "text_quality": """
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        )
+        SELECT doc_id, len(ws) AS n_tokens,
+               round((length(text) - len(ws) + 1) * 1.0 / len(ws), 4)
+                 AS mean_tok_len,
+               round(len(list_filter(ws, w -> w IN ('the','a','of','and')))
+                     * 1.0 / len(ws), 4) AS stopword_ratio
+        FROM t
+    """,
+    "lang_id": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(ws, w -> w IN ('the','a','of'))) AS en_markers,
+               len(list_filter(ws, w -> w IN ('spark','sql','query')))
+                 AS tech_markers,
+               CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of')))
+                         >= len(list_filter(ws, w -> w IN ('spark','sql','query')))
+                    THEN 'en_like' ELSE 'tech_like' END AS guess
+        FROM t
+    """,
+    "token_count_bpe": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS bpe_pieces
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        WITH pos AS (
+          SELECT doc_id, ws[i::INT] AS w, i::INT AS pos1
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               unnest(generate_series(1, len(ws))) AS t(i)
+        )
+        SELECT doc_id,
+               (sum((('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000)
+                    * (pos1 % 997)) % 2147483647)::BIGINT AS fingerprint
+        FROM pos GROUP BY doc_id
+    """,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "url_canonicalize": q_url_canonicalize,
+        "url_next_page": q_url_next_page,
+        "phone_normalize": q_phone_normalize,
+        "extract_fields": q_extract_fields,
+        "first_occurrence_dedup": q_first_occurrence_dedup,
+        "seen_anti_join": q_seen_anti_join,
+        "politeness_topk": q_politeness_topk,
+        "vin_dedup": q_vin_dedup,
+        "crawl_metrics": q_crawl_metrics,
+        "events_hourly": q_events_hourly,
+        "tpch_pricing": q_tpch_pricing,
+        "nation_revenue": q_nation_revenue,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "simhash": q_simhash,
+        "jaccard_near_dup": q_jaccard_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

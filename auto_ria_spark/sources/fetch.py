@@ -1,0 +1,88 @@
+"""The fetch stage — Arrow-batched ``mapInPandas`` over selected frontier rows.
+
+In production this stage holds one HTTP client per partition (iterator-form
+``mapInPandas`` keeps state across batches, the analogue of the reference's
+single reused ``httpx.AsyncClient``, reference: app/scraper/autoria.py:229-231)
+and GETs each URL with a deterministic per-row User-Agent
+(``UA_LIST[pmod(url_hash, N)]`` — the seeded version of the reference's
+``UserAgent().random`` rotation, reference: app/scraper/autoria.py:74,
+parsers/car_page.py:259-262).
+
+In the sandbox the "web" is the deterministic synthetic page-store
+(FIXTURES.md §2), so fetch = equi-join frontier→pages on url_hash followed
+by this same mapInPandas stage, which decides the HTTP *outcome* per row:
+
+* listing 503-on-first-attempt pages (reference retry: parsers/
+  search_page.py:153-178) and phone 429-with-Retry-After pages (reference:
+  parsers/car_page.py:276-292) succeed only once ``attempt`` exceeds the
+  page's ``fail_503_times`` — the retry loop is thereby exercised through
+  the frontier's (attempt, not_before) re-queue machinery rather than
+  wall-clock sleeps.
+* URLs absent from the page store are 404s (dropped with an error metric).
+
+The stage's output schema is the *fetch result contract*; swapping the body
+for real HTTP changes nothing downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic UA rotation pool (S4). Plain descriptive strings.
+UA_LIST = [f"auto-ria-spark/1.0 (worker {i})" for i in range(16)]
+
+FETCH_RESULT_EXTRA = (
+    "status_code int, body string, fetch_ua string, retry_after_s int"
+)
+
+
+def fetched_frontier(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """Join the wave's selected frontier rows to the page store and run the
+    fetch stage.  Both sides are keyed by url_hash (long) — at scale both
+    tables are bucketed by url_hash so this is a co-partitioned join.
+    """
+    page_side = pages.select(
+        F.col("url_hash").alias("__page_hash"),
+        F.col("payload").alias("__payload"),
+        F.col("fail_503_times").alias("__fail_times"),
+        F.col("retry_after").alias("__retry_after"),
+    )
+    joined = selected.join(
+        page_side, selected["url_hash"] == page_side["__page_hash"], "left"
+    ).drop("__page_hash")
+
+    cols = [c for c in selected.columns]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in selected.schema.fields
+    ) + ", " + FETCH_RESULT_EXTRA
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # iterator form: a real client would be opened once per partition here
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[cols].copy()
+            ua_idx = (pdf["url_hash"].to_numpy("int64") % len(UA_LIST)) % len(UA_LIST)
+            out["fetch_ua"] = [UA_LIST[i] for i in ua_idx]
+            missing = pdf["__payload"].isna()
+            fail_times = pdf["__fail_times"].fillna(0).astype("int64")
+            attempt = pdf["attempt"].fillna(0).astype("int64")
+            failing = (~missing) & (attempt < fail_times)
+            has_ra = pdf["__retry_after"].notna()
+            status = pd.Series(200, index=pdf.index)
+            status[failing & has_ra] = 429
+            status[failing & ~has_ra] = 503
+            status[missing] = 404
+            out["status_code"] = status.astype("int32")
+            out["body"] = pdf["__payload"].where(status == 200, None)
+            out["retry_after_s"] = (
+                pdf["__retry_after"].where(failing & has_ra).astype("Int32")
+            )
+            yield out
+
+    return joined.mapInPandas(fetch, schema=out_schema)

@@ -41,7 +41,7 @@ _W = [64, 96, 128]
 _H = [64, 80, 128]
 _FMT = ["png", "jpeg"]
 _NOISE_SIGMA = 1.5
-_JPEG_Q = 90
+_JPEG_Q = 95  # keeps the lossy per-row PSNR >= 40 dB invariant satisfiable
 
 
 def host_name(host_idx: int) -> str:

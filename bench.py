@@ -1,0 +1,104 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Headline metric: frontier URLs fetched+deduped per second on a synthetic
+crawl world scaled to the SF dir (BASELINE.json metric), plus wall-times
+for the headline analytics queries at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_CARS          (override crawl world size)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# crawl world sized to the SF tier: sf0.1 -> 20k cars over 4 hosts
+_SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+CARS_PER_HOST = int(os.environ.get("BENCH_CARS", str(int(50_000 * _SF_GUESS))))
+HOSTS = 4
+
+HEADLINE = ["tpch_pricing", "nation_revenue", "dedup_exact",
+            "minhash_signatures", "lsh_candidate_pairs", "simhash",
+            "cosine_topk", "ann_lsh_buckets", "text_quality",
+            "doc_fingerprint", "politeness_topk", "first_occurrence_dedup"]
+
+
+def bench_crawl(spark) -> tuple[float, dict]:
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.plans.crawl import CrawlEngine
+    from auto_ria_spark.sources import worldgen
+
+    cfg = CrawlConfig(
+        host_budget=max(CARS_PER_HOST // 4, 100),
+        phone_budget=max(CARS_PER_HOST // 4, 100),
+        backoff_base_s=1, wave_seconds=5,
+        num_shards=16, shuffle_partitions=max(CPUS, 8))
+    pages = worldgen.pages_df(spark, HOSTS, CARS_PER_HOST, 100,
+                              partitions=max(CPUS, 8)).cache()
+    pages.count()
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bench_wh_"), cfg,
+                      pages=pages)
+    t0 = time.time()
+    stats = eng.run(seeds=worldgen.seed_rows(HOSTS))
+    dt = time.time() - t0
+    fetched = sum(s.selected for s in stats)
+    discovered = sum(s.discovered for s in stats)
+    saved = sum(s.saved for s in stats)
+    pages.unpersist()
+    return dt, {
+        "crawl_urls_fetched": fetched,
+        "crawl_urls_discovered": discovered,
+        "crawl_cars_saved": saved,
+        "crawl_waves": len(stats),
+        "crawl_fetched_deduped_per_sec": round((fetched + discovered) / dt, 2),
+    }
+
+
+def main() -> None:
+    from auto_ria_spark.queries import queries
+    from auto_ria_spark.session import get_spark
+
+    spark = get_spark("auto-ria-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+
+    crawl_secs, crawl_info = bench_crawl(spark)
+    per_query["crawl_e2e"] = round(crawl_secs, 3)
+
+    qs = queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        per_query[name] = round(time.time() - t0, 3)
+        crawl_info[f"rows_{name}"] = n
+
+    out = {
+        "metric": "crawl frontier URLs fetched+deduped per second"
+                  f" ({HOSTS}x{CARS_PER_HOST}-car synthetic world)",
+        "value": crawl_info["crawl_fetched_deduped_per_sec"],
+        "unit": "urls/sec",
+        "queries": per_query,
+        "sf": _SF_GUESS,
+        "cores": CPUS,
+        "detail": crawl_info,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Golden end-to-end crawl: Spark wave loop == pure-Python reference oracle.
+
+Asserts on the t-unit world (FIXTURES.md §6): (a) the exact URL-seen set,
+(b) the exact car discovery order, (c) every saved car row field-by-field —
+the reference-equivalence contract from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ria_spark.config import CrawlConfig
+from auto_ria_spark.plans.crawl import CrawlEngine
+from auto_ria_spark.sources import worldgen
+from oracle import crawl_oracle
+
+CAR_FIELDS = ["url", "title", "price_usd", "odometer", "username",
+              "phone_number", "image_url", "images_count", "car_number",
+              "car_vin", "discovery_rank"]
+
+
+def _cfg(**kw):
+    base = dict(host_budget=50, phone_budget=50, backoff_base_s=1,
+                wave_seconds=5, num_shards=4, bloom_bits_per_shard=1 << 16,
+                shuffle_partitions=8)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def run_both(spark, tmp_path, cfg, n_hosts=1, cars_per_host=300,
+             page_size=100, db_urls=None, robots_rows=None):
+    world = worldgen.build_world_local(n_hosts, cars_per_host, page_size)
+    seeds = worldgen.seed_rows(n_hosts)
+    pages = spark.createDataFrame(world, schema=worldgen.PAGES_SCHEMA)
+    robots = (
+        spark.createDataFrame(
+            robots_rows, schema="host string, path_prefix string, allowed boolean")
+        if robots_rows else None
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), cfg, pages=pages,
+                      robots=robots)
+    if db_urls:
+        # preload prior-run cars (the F2 'already in DB' path)
+        eng.start(seeds)
+        pre = spark.createDataFrame(
+            [(u, "t", 1, 1, "u", "+1", None, 0, None, f"PRE{i}",
+              None, "h", 0) for i, u in enumerate(sorted(db_urls))],
+            schema=("url string, title string, price_usd int, odometer int,"
+                    " username string, phone_number string, image_url string,"
+                    " images_count int, car_number string, car_vin string,"
+                    " datetime_found timestamp, host string, discovery_rank long"))
+        eng.t["cars"].write(pre, mode="overwrite", tag={"wave": -1})
+        stats = eng.run(seeds=None)  # resume path from wave -1
+    else:
+        stats = eng.run(seeds=seeds, max_waves=400)
+    oracle = crawl_oracle(world, seeds, cfg, db_urls=db_urls,
+                          robots=robots_rows)
+    return eng, oracle, stats
+
+
+def assert_match(eng, oracle, db_urls=None):
+    # (a) URL-seen set — exact
+    got_seen = {r.url_norm for r in eng.seen().select("url_norm").collect()}
+    assert got_seen == oracle.seen
+
+    # (b) car discovery order — exact
+    got_order = [
+        r.url_norm
+        for r in eng.seen()
+        .filter((F.col("kind") == "car") & F.col("discovery_rank").isNotNull())
+        .filter(F.col("discovery_rank") <= len(oracle.order))
+        .orderBy("host", "discovery_rank")
+        .collect()
+    ]
+    assert got_order == oracle.order
+
+    # (c) cars table field-by-field
+    got = {
+        r["url"]: {f: r[f] for f in CAR_FIELDS}
+        for r in eng.cars_final().collect()
+        if not (db_urls and r["url"] in db_urls)
+    }
+    exp = {c["url"]: {f: c[f] for f in CAR_FIELDS} for c in oracle.cars}
+    assert set(got) == set(exp), (
+        f"missing={set(exp) - set(got)} extra={set(got) - set(exp)}")
+    for url, row in exp.items():
+        assert got[url] == row, f"{url}: {got[url]} != {row}"
+
+
+def test_golden_crawl_unlimited(spark, tmp_path):
+    eng, oracle, stats = run_both(spark, tmp_path, _cfg())
+    assert_match(eng, oracle)
+    assert len(oracle.cars) > 200  # non-trivial world
+
+
+def test_golden_crawl_with_limits(spark, tmp_path):
+    cfg = _cfg(max_cars=120, max_pages=2)
+    eng, oracle, _ = run_both(spark, tmp_path, cfg)
+    assert_match(eng, oracle)
+    assert len(oracle.order) <= 120
+
+
+def test_golden_crawl_max_cars_mid_page(spark, tmp_path):
+    # limit falls mid-page: the over-limit links are seen but not processed
+    cfg = _cfg(max_cars=130)
+    eng, oracle, _ = run_both(spark, tmp_path, cfg)
+    assert_match(eng, oracle)
+    assert len(oracle.order) == 130
+
+
+def test_golden_crawl_multi_host(spark, tmp_path):
+    eng, oracle, _ = run_both(spark, tmp_path, _cfg(), n_hosts=3,
+                              cars_per_host=120)
+    assert_match(eng, oracle)
+
+
+def test_golden_crawl_small_budget_same_result(spark, tmp_path):
+    # politeness budgets delay but never change the outcome
+    cfg = _cfg(host_budget=7, phone_budget=7)
+    eng, oracle, stats = run_both(spark, tmp_path, cfg, cars_per_host=60,
+                                  page_size=20)
+    assert_match(eng, oracle)
+    assert len(stats) > 5  # genuinely spread over many waves
+
+
+def test_golden_crawl_robots(spark, tmp_path):
+    robots = [
+        {"host": "auto.ria.test", "path_prefix": "/auto_bmw", "allowed": False},
+        {"host": "auto.ria.test", "path_prefix": "/", "allowed": True},
+    ]
+    eng, oracle, _ = run_both(spark, tmp_path, _cfg(), cars_per_host=120,
+                              robots_rows=robots)
+    assert_match(eng, oracle)
+    assert not any("/auto_bmw" in u for u in
+                   (r.url_norm for r in eng.seen().collect()))
+    assert len(oracle.cars) > 0
+
+
+def test_golden_crawl_db_skip(spark, tmp_path):
+    world = worldgen.build_world_local(1, 120, 100)
+    db_urls = {
+        worldgen.car_fields(0, 120, i)["url"] for i in range(0, 120, 10)
+    }
+    eng, oracle, _ = run_both(spark, tmp_path, _cfg(), cars_per_host=120,
+                              db_urls=db_urls)
+    assert_match(eng, oracle, db_urls=db_urls)
+    saved_urls = {r.url for r in eng.cars_final().collect()}
+    assert db_urls <= saved_urls  # preloaded rows still present
+    assert not any(c["url"] in db_urls for c in oracle.cars)
+
+
+@pytest.mark.parametrize("seed_n", [(40, 15), (77, 25)])
+def test_property_randomized_worlds(spark, tmp_path, seed_n):
+    cars, page = seed_n
+    eng, oracle, _ = run_both(spark, tmp_path, _cfg(), cars_per_host=cars,
+                              page_size=page)
+    assert_match(eng, oracle)

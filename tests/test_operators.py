@@ -1,0 +1,83 @@
+"""Unit tests: Bloom seen-set shards, politeness top-B, robots gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_ria_spark.operators import bloom
+from auto_ria_spark.operators.politeness import robots_gate, top_b_per_host
+
+SHARDS, MBITS, K = 4, 1 << 14, 7
+
+
+def _urls_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://h/auto_x_"), F.col("id"), F.lit(".html"))
+        .alias("url_norm")
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+
+
+def test_bloom_no_false_negatives_and_sane_fpr(spark):
+    inserted = _urls_df(spark, 0, 2000)
+    filters = bloom.build_filters(inserted, None, num_shards=SHARDS,
+                                  m_bits=MBITS, k=K, wave=0)
+    filters = filters.cache()
+    assert filters.count() == SHARDS
+    assert filters.agg(F.sum("n_items")).first()[0] == 2000
+
+    # every inserted key must probe positive (no false negatives)
+    probed_in = bloom.probe_filters(inserted, filters, num_shards=SHARDS,
+                                    m_bits=MBITS, k=K)
+    assert probed_in.filter(~F.col("maybe_seen")).count() == 0
+
+    # disjoint keys: FPR well under a few percent at this m/n
+    fresh = _urls_df(spark, 100_000, 102_000)
+    probed_out = bloom.probe_filters(fresh, filters, num_shards=SHARDS,
+                                     m_bits=MBITS, k=K)
+    fpr = probed_out.filter(F.col("maybe_seen")).count() / 2000
+    assert fpr < 0.05, f"FPR {fpr} too high"
+
+
+def test_bloom_incremental_merge_preserves_members(spark):
+    first = _urls_df(spark, 0, 500)
+    second = _urls_df(spark, 500, 1000)
+    f0 = bloom.build_filters(first, None, num_shards=SHARDS,
+                             m_bits=MBITS, k=K, wave=0)
+    f1 = bloom.build_filters(second, f0, num_shards=SHARDS,
+                             m_bits=MBITS, k=K, wave=1).cache()
+    assert f1.agg(F.sum("n_items")).first()[0] == 1000
+    both = _urls_df(spark, 0, 1000)
+    probed = bloom.probe_filters(both, f1, num_shards=SHARDS, m_bits=MBITS, k=K)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_top_b_per_host_exact_and_deterministic(spark):
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("host"), (F.col("id") % 3)).alias("host"),
+        F.col("id").alias("discovery_rank"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    picked = top_b_per_host(df, 5, ["discovery_rank"], salt_n=8)
+    rows = picked.orderBy("host", "discovery_rank").collect()
+    assert len(rows) == 15
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.discovery_rank)
+    # exact per-host minima survive the salted two-phase selection
+    for h, ranks in by_host.items():
+        base = int(h[-1])
+        assert ranks == [base + 3 * i for i in range(5)]
+
+
+def test_robots_gate_longest_prefix_wins(spark):
+    df = spark.createDataFrame(
+        [("https://h/a/x", "h"), ("https://h/a/private/x", "h"),
+         ("https://other/a/private/x", "other")],
+        schema="url_norm string, host string",
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+    robots = spark.createDataFrame(
+        [("h", "/a", True), ("h", "/a/private", False)],
+        schema="host string, path_prefix string, allowed boolean",
+    )
+    kept = {r.url_norm for r in robots_gate(df, robots).collect()}
+    assert kept == {"https://h/a/x", "https://other/a/private/x"}
