@@ -103,9 +103,12 @@ def build_filters(
         F.col("url_hash").cast("string").alias("url_hash_str"),
     )
     if prior_filters is None:
-        prior_filters = spark.createDataFrame(
+        from auto_ria_spark.util import local_df
+
+        prior_filters = local_df(
+            spark,
             [(s, bytes(m_bits // 8), 0, -1) for s in range(num_shards)],
-            schema=FILTER_SCHEMA,
+            FILTER_SCHEMA,
         )
     prior = prior_filters.select(
         "shard", F.col("bitset").alias("prior_bitset"), F.col("n_items").alias("prior_n")
@@ -129,9 +132,14 @@ def build_filters(
              "n_items": [n + len(hashes)], "updated_wave": [wave]}
         )
 
-    # right join keeps every shard row even when it gained no URLs this wave
-    joined = hashed.join(prior, "shard", "right")
-    return joined.groupBy("shard").applyInPandas(merge, schema=FILTER_SCHEMA)
+    # incremental: only shards that gained URLs run the pandas merge; the
+    # untouched shards pass through unchanged (at 4096 shards a wave rarely
+    # touches them all)
+    touched = hashed.select("shard").distinct()
+    joined = hashed.join(prior, "shard", "inner")
+    merged = joined.groupBy("shard").applyInPandas(merge, schema=FILTER_SCHEMA)
+    untouched = prior_filters.join(touched, "shard", "left_anti")
+    return merged.unionByName(untouched)
 
 
 def probe_filters(

@@ -61,6 +61,7 @@ from auto_ria_spark.operators import bloom
 from auto_ria_spark.operators.politeness import robots_gate, top_b_per_host
 from auto_ria_spark.sources.fetch import fetched_frontier
 from auto_ria_spark.sources.warehouse import Warehouse
+from auto_ria_spark.util import empty_df, local_df
 
 FRONTIER_COLS = ["url_norm", "url_hash", "host", "kind", "kind_rank",
                  "page_index", "pos_on_page", "attempt", "not_before",
@@ -77,21 +78,27 @@ SEEN_SCHEMA = (
 PENDING_SCHEMA = (
     "phone_hash long, url string, host string, discovery_rank long,"
     " title string, price_usd int, odometer int, username string,"
-    " image_url string, images_count int, car_number string, car_vin string"
+    " image_url string, image_id string, images_count int,"
+    " car_number string, car_vin string"
 )
 CARS_SCHEMA = (
     "url string, title string, price_usd int, odometer int, username string,"
-    " phone_number string, image_url string, images_count int,"
-    " car_number string, car_vin string, datetime_found timestamp,"
-    " host string, discovery_rank long"
+    " phone_number string, image_url string, image_id string,"
+    " images_count int, car_number string, car_vin string,"
+    " datetime_found timestamp, host string, discovery_rank long"
 )
 METRICS_SCHEMA = (
     "wave int, partition_id int, kind string, metric string, value long"
 )
 HOSTSTATE_SCHEMA = "host string, cars_discovered long, pagination_done boolean"
+CAR_IMAGES_SCHEMA = (
+    "image_id string, url string, w int, h int, decoded_w int, decoded_h int,"
+    " phash long, decoded_phash long, image_ok boolean, caption string,"
+    " verified_wave int"
+)
 
 TABLES = ("frontier", "seen_urls", "seen_filters", "pending_cars", "cars",
-          "metrics", "host_state")
+          "car_images", "metrics", "host_state")
 
 
 @dataclass
@@ -113,7 +120,8 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, warehouse_dir: str,
                  cfg: CrawlConfig | None = None,
                  pages: DataFrame | None = None,
-                 robots: DataFrame | None = None):
+                 robots: DataFrame | None = None,
+                 corpus: DataFrame | None = None):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.wh = Warehouse(warehouse_dir)
@@ -122,13 +130,16 @@ class CrawlEngine:
             pages = pages.withColumn("url_hash", U.url_hash64(F.col("url_norm")))
         self.pages = pages
         self.robots = robots
+        # the image+caption corpus (input_hint): stage V validates each
+        # saved car's photo bytes against it (decode + phash + dims)
+        self.corpus = corpus
         self.t = {name: self.wh.table(name) for name in TABLES}
 
     # ------------------------------------------------------------------ state
     def _read(self, name: str, schema: str) -> DataFrame:
         df = self.t[name].read(self.spark)
         if df is None:
-            return self.spark.createDataFrame([], schema=schema)
+            return empty_df(self.spark, schema)
         return df
 
     def last_complete_wave(self) -> int:
@@ -157,9 +168,10 @@ class CrawlEngine:
         """Seed the frontier (mirrors the SCRAPER_START_URL bootstrap,
         reference: app/config/settings.py:76-79)."""
         cfg = self.cfg
-        seed_df = self.spark.createDataFrame(
+        seed_df = local_df(
+            self.spark,
             [(s["url"], s.get("kind", "listing")) for s in seeds],
-            schema="url string, kind string",
+            "url string, kind string",
         )
         fr = (
             seed_df.select(
@@ -191,17 +203,24 @@ class CrawlEngine:
         self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
         for name, schema in (("pending_cars", PENDING_SCHEMA),
                              ("cars", CARS_SCHEMA),
+                             ("car_images", CAR_IMAGES_SCHEMA),
                              ("metrics", METRICS_SCHEMA),
                              ("host_state", HOSTSTATE_SCHEMA)):
-            self.t[name].write(
-                self.spark.createDataFrame([], schema=schema),
-                mode="overwrite", tag=tag, num_files=1)
+            self.t[name].write(empty_df(self.spark, schema),
+                               mode="overwrite", tag=tag, num_files=1)
 
     # ------------------------------------------------------------------ wave
     def run_wave(self, wave: int) -> WaveStats:
+        import time as _time
         cfg, spark = self.cfg, self.spark
         ts = cfg.wave_ts(wave)
         st = WaveStats(wave=wave)
+        _t = {"start": _time.time()}
+
+        def _mark(name):
+            now = _time.time()
+            _t[name] = round(now - _t.pop("_last", _t["start"]), 3)
+            _t["_last"] = now
 
         frontier = self._read("frontier", FRONTIER_SCHEMA)
         seen = self._read("seen_urls", SEEN_SCHEMA)
@@ -210,6 +229,7 @@ class CrawlEngine:
         cars = self._read("cars", CARS_SCHEMA)
         host_state = self._read("host_state", HOSTSTATE_SCHEMA)
 
+        _mark("read_state")
         eligible = frontier.filter(F.col("not_before") <= F.lit(ts))
 
         # -- stage L: listing fetch + discovery -------------------------------
@@ -219,11 +239,13 @@ class CrawlEngine:
         lf = fetched_frontier(listing_sel, self.pages) \
             .withColumn("__pid", F.spark_partition_id()) \
             .localCheckpoint(eager=True)
+        _mark("stage_L_fetch")
         (new_links, next_pages, seen_only, host_state_next,
          d_disc, d_skip, d_enq) = self._discover(
             lf.filter(F.col("status_code") == 200), seen, filters, cars,
             host_state, wave)
 
+        _mark("discover")
         # -- stage C: car fetch + field extraction ----------------------------
         car_cand = eligible.filter(F.col("kind") == "car") \
             .unionByName(new_links)
@@ -231,8 +253,10 @@ class CrawlEngine:
         cf = fetched_frontier(car_sel, self.pages) \
             .withColumn("__pid", F.spark_partition_id()) \
             .localCheckpoint(eager=True)
+        _mark("stage_C_fetch")
         new_pending, phone_rows, c_parsed, c_deleted, c_nophone = \
             self._parse_cars(cf.filter(F.col("status_code") == 200), wave)
+        _mark("parse_cars")
 
         # -- stage P: phone fetch + assembly + save ---------------------------
         ph_cand = eligible.filter(F.col("kind") == "phone") \
@@ -241,6 +265,7 @@ class CrawlEngine:
         pf = fetched_frontier(ph_sel, self.pages) \
             .withColumn("__pid", F.spark_partition_id()) \
             .localCheckpoint(eager=True)
+        _mark("stage_P_fetch")
         pending_all = pending.unionByName(new_pending)
         saved_rows, resolved_hashes = self._resolve_phones(
             pf.filter(F.col("status_code") == 200), pending_all)
@@ -295,6 +320,7 @@ class CrawlEngine:
             .join(dead_phones, "phone_hash", "left_anti")
         )
 
+        _mark("plan_state")
         # -- wave scalar stats (one small aggregate over the fetch log) --------
         frow = fetched.groupBy().agg(
             F.count("*").alias("n"),
@@ -313,6 +339,7 @@ class CrawlEngine:
         st.errors = frow["errors"] or 0
         st.discovered, st.skipped_db, st.enqueued = d_disc, d_skip, d_enq
 
+        _mark("stats_agg")
         # -- metrics / per-partition lineage ------------------------------------
         per_part = fetched.groupBy("__pid", "kind").agg(
             F.count("*").alias("fetched"),
@@ -327,21 +354,42 @@ class CrawlEngine:
             F.col("ok").cast("long").alias("value")))
 
         # -- commit (tagged with the wave: the checkpoint) -----------------------
+        _mark("metrics_plan")
         saved_rows = saved_rows.localCheckpoint(eager=True)
         st.saved = saved_rows.count()
         tag = {"wave": wave}
         nf = max(2, cfg.shuffle_partitions // 8)
-        self.t["frontier"].write(frontier_next, mode="overwrite", tag=tag,
-                                 num_files=nf)
-        st.frontier_left = self.t["frontier"].read(spark).count()
-        self.t["seen_urls"].write(seen.unionByName(seen_add),
-                                  mode="overwrite", tag=tag, num_files=nf)
-        self.t["seen_filters"].write(filters_next, mode="overwrite", tag=tag)
-        self.t["pending_cars"].write(pending_next, mode="overwrite", tag=tag,
+        _mark("saved_ckpt")
+        # -- stage V: validate each saved car's photo against the corpus ------
+        car_images_new = self._verify_images(saved_rows, wave)
+        _mark("stage_V_plan")
+        # independent table writes fan out over driver threads (each is its
+        # own Spark job; the local scheduler interleaves their tiny stages —
+        # on a cluster these are concurrent Iceberg commits to distinct tables)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [
+                ex.submit(self.t["seen_urls"].write, seen_add, "append",
+                          tag, nf),
+                ex.submit(self.t["seen_filters"].write, filters_next,
+                          "overwrite", tag, None),
+                ex.submit(self.t["pending_cars"].write, pending_next,
+                          "overwrite", tag, nf),
+                ex.submit(self.t["cars"].write, saved_rows, "append", tag, nf),
+                ex.submit(self.t["car_images"].write, car_images_new,
+                          "append", tag, nf),
+                ex.submit(self.t["host_state"].write, host_state_next,
+                          "overwrite", tag, 1),
+            ]
+            self.t["frontier"].write(frontier_next, mode="overwrite", tag=tag,
                                      num_files=nf)
-        self.t["cars"].write(cars.unionByName(saved_rows), mode="overwrite",
-                             tag=tag, num_files=nf)
-        summary = self.spark.createDataFrame(
+            st.frontier_left = self.t["frontier"].read(spark).count()
+            for fut in futs:
+                fut.result()
+        _mark("w_tables")
+        summary = local_df(
+            self.spark,
             [(wave, -1, "all", "fetched", int(st.selected)),
              (wave, -1, "all", "fetch_ok", int(st.fetched_ok)),
              (wave, -1, "all", "requeued", int(st.requeued)),
@@ -354,11 +402,12 @@ class CrawlEngine:
              (wave, -1, "car", "no_phone", int(c_nophone)),
              (wave, -1, "car", "saved", int(st.saved)),
              (wave, -1, "all", "frontier_left", int(st.frontier_left))],
-            schema=METRICS_SCHEMA)
+            METRICS_SCHEMA)
         self.t["metrics"].write(metric_rows.unionByName(summary),
                                 mode="append", tag=tag, num_files=1)
-        self.t["host_state"].write(host_state_next, mode="overwrite", tag=tag,
-                                   num_files=1)
+        _mark("w_metrics")
+        _t.pop("_last", None); _t.pop("start", None)
+        st.detail = _t
         return st
 
     # ------------------------------------------------------------------ parts
@@ -509,6 +558,7 @@ class CrawlEngine:
             X.extract_image_url(body).alias("image_url"),
             X.extract_car_number(body).alias("car_number"),
             X.extract_car_vin(body).alias("car_vin"),
+            X.payload_field(body, "image_id").alias("image_id"),
             X.phone_url(body, F.col("url_norm")).alias("phone_url"),
             X.extract_images_count(body, X.extract_image_url(body))
             .alias("images_count"),
@@ -527,7 +577,7 @@ class CrawlEngine:
         new_pending = with_phone.select(
             "phone_hash", F.col("url_norm").alias("url"), "host",
             "discovery_rank", "title", "price_usd", "odometer", "username",
-            "image_url", "images_count", "car_number", "car_vin")
+            "image_url", "image_id", "images_count", "car_number", "car_vin")
         phone_rows = with_phone.select(
             F.col("phone_norm").alias("url_norm"),
             F.col("phone_hash").alias("url_hash"),
@@ -553,7 +603,7 @@ class CrawlEngine:
         assembled = pending.join(phones, "phone_hash", "inner").select(
             "url", "title", "price_usd", "odometer", "username",
             X.normalize_phone(F.col("phone_raw")).alias("phone_number"),
-            "image_url", "images_count", "car_number", "car_vin",
+            "image_url", "image_id", "images_count", "car_number", "car_vin",
             F.timestamp_seconds(F.lit(cfg.wave_ts_base)).alias("datetime_found"),
             "host", "discovery_rank",
         )
@@ -570,6 +620,59 @@ class CrawlEngine:
         )
         resolved = phone_ok.select(F.col("url_hash").alias("phone_hash"))
         return saved, resolved
+
+    def _verify_images(self, saved_rows: DataFrame, wave: int) -> DataFrame:
+        """Stage V — per-row image invariant over the corpus (input_hint):
+        join each saved car to the image+caption corpus on image_id, decode
+        the binary payload in Arrow-batched ``mapInPandas`` and check that
+        the decoded pixels reproduce the stored perceptual hash and declared
+        dimensions.  This is the production shape of 'download the photo and
+        validate it' (the reference only records image_url/images_count,
+        reference: app/core/models.py:60-61; the graft owns the pixels)."""
+        if self.corpus is None:
+            return empty_df(self.spark, CAR_IMAGES_SCHEMA)
+        cand = saved_rows.filter(F.col("image_id").isNotNull()).select(
+            "image_id", "url")
+        joined = cand.join(
+            self.corpus.select("image_id", "bytes", "w", "h", "phash",
+                               "caption"),
+            "image_id", "left")
+
+        def verify(batches):
+            import pandas as pd
+
+            from auto_ria_spark.functions import imaging
+
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    rec = {"image_id": row["image_id"], "url": row["url"],
+                           "w": row["w"], "h": row["h"],
+                           "phash": row["phash"], "caption": row["caption"],
+                           "decoded_w": None, "decoded_h": None,
+                           "decoded_phash": None, "image_ok": False,
+                           "verified_wave": wave}
+                    data = row["bytes"]
+                    if data is not None:
+                        try:
+                            px = imaging.decode_image(bytes(data))
+                            ph = imaging.phash64(px)
+                            rec.update(
+                                decoded_w=px.shape[1], decoded_h=px.shape[0],
+                                decoded_phash=ph,
+                                image_ok=bool(
+                                    px.shape[1] == row["w"]
+                                    and px.shape[0] == row["h"]
+                                    and ph == row["phash"]))
+                        except Exception:
+                            pass
+                    out.append(rec)
+                yield pd.DataFrame(
+                    out, columns=["image_id", "url", "w", "h", "decoded_w",
+                                  "decoded_h", "phash", "decoded_phash",
+                                  "image_ok", "caption", "verified_wave"])
+
+        return joined.mapInPandas(verify, schema=CAR_IMAGES_SCHEMA)
 
     # ------------------------------------------------------------------ run
     def run(self, seeds: list[dict] | None = None, max_waves: int = 10_000,
@@ -608,6 +711,12 @@ class CrawlEngine:
 
     def seen(self) -> DataFrame:
         return self._read("seen_urls", SEEN_SCHEMA)
+
+    def car_images(self) -> DataFrame:
+        """Image verdicts for the FINAL cars (stage V runs per wave, before
+        cross-wave VIN dedup settles — scope to the deduped view here)."""
+        return self._read("car_images", CAR_IMAGES_SCHEMA).join(
+            self.cars_final().select("url"), "url", "left_semi")
 
     def metrics(self) -> DataFrame:
         return self._read("metrics", METRICS_SCHEMA)

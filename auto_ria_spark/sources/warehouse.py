@@ -94,7 +94,10 @@ class SnapshotTable:
         """Write df as a new snapshot. mode: append | overwrite."""
         sub = os.path.join(self.dir, "data", uuid.uuid4().hex)
         if num_files:
-            df = df.coalesce(num_files)
+            # repartition, NOT coalesce: coalesce would collapse the whole
+            # narrow upstream chain (e.g. an expensive mapInPandas stage) to
+            # num_files tasks; the exchange keeps upstream parallelism
+            df = df.repartition(num_files)
         df.write.mode("overwrite").parquet(sub)
         files = [
             os.path.join(sub, fn)

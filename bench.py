@@ -47,19 +47,25 @@ def bench_crawl(spark) -> tuple[float, dict]:
     pages = worldgen.pages_df(spark, HOSTS, CARS_PER_HOST, 100,
                               partitions=max(CPUS, 8)).cache()
     pages.count()
+    corpus = worldgen.corpus_df(spark, HOSTS * CARS_PER_HOST,
+                                partitions=max(CPUS, 8)).cache()
+    corpus.count()
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bench_wh_"), cfg,
-                      pages=pages)
+                      pages=pages, corpus=corpus)
     t0 = time.time()
     stats = eng.run(seeds=worldgen.seed_rows(HOSTS))
     dt = time.time() - t0
     fetched = sum(s.selected for s in stats)
     discovered = sum(s.discovered for s in stats)
     saved = sum(s.saved for s in stats)
+    imgs_ok = eng.car_images().filter("image_ok").count()
     pages.unpersist()
+    corpus.unpersist()
     return dt, {
         "crawl_urls_fetched": fetched,
         "crawl_urls_discovered": discovered,
         "crawl_cars_saved": saved,
+        "crawl_images_verified_ok": imgs_ok,
         "crawl_waves": len(stats),
         "crawl_fetched_deduped_per_sec": round((fetched + discovered) / dt, 2),
     }

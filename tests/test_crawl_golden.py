@@ -44,12 +44,13 @@ def run_both(spark, tmp_path, cfg, n_hosts=1, cars_per_host=300,
         # preload prior-run cars (the F2 'already in DB' path)
         eng.start(seeds)
         pre = spark.createDataFrame(
-            [(u, "t", 1, 1, "u", "+1", None, 0, None, f"PRE{i}",
+            [(u, "t", 1, 1, "u", "+1", None, None, 0, None, f"PRE{i}",
               None, "h", 0) for i, u in enumerate(sorted(db_urls))],
             schema=("url string, title string, price_usd int, odometer int,"
                     " username string, phone_number string, image_url string,"
-                    " images_count int, car_number string, car_vin string,"
-                    " datetime_found timestamp, host string, discovery_rank long"))
+                    " image_id string, images_count int, car_number string,"
+                    " car_vin string, datetime_found timestamp, host string,"
+                    " discovery_rank long"))
         eng.t["cars"].write(pre, mode="overwrite", tag={"wave": -1})
         stats = eng.run(seeds=None)  # resume path from wave -1
     else:
@@ -156,3 +157,21 @@ def test_property_randomized_worlds(spark, tmp_path, seed_n):
     eng, oracle, _ = run_both(spark, tmp_path, _cfg(), cars_per_host=cars,
                               page_size=page)
     assert_match(eng, oracle)
+
+
+def test_crawl_with_corpus_image_verification(spark, tmp_path):
+    """Stage V: every saved car's photo decodes back to the corpus row's
+    phash + dimensions (the input_hint per-row invariant, engine-side)."""
+    n = 60
+    world = worldgen.build_world_local(1, n, 20)
+    pages = spark.createDataFrame(world, schema=worldgen.PAGES_SCHEMA)
+    corpus = worldgen.corpus_df(spark, n, partitions=4)
+    eng = CrawlEngine(spark, str(tmp_path / "whc"), _cfg(), pages=pages,
+                      corpus=corpus)
+    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+    imgs = eng.car_images().collect()
+    saved = eng.cars_final().count()
+    assert len(imgs) == saved > 0
+    assert all(r.image_ok for r in imgs), [r for r in imgs if not r.image_ok][:3]
+    oracle = crawl_oracle(world, worldgen.seed_rows(1), _cfg())
+    assert saved == len(oracle.cars)

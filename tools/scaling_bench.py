@@ -1,0 +1,136 @@
+"""Two-parallelism scaling evidence (north rule: N vs 4N executors).
+
+In-sandbox stand-in for a 2-cluster-size run: the SAME crawl job over the
+SAME materialized world, in two fresh Spark processes at local[N] and
+local[4N].  Reports throughput at both + scaling efficiency
+  eff = (thr_4N / thr_N) / 4
+and appends the evidence table to BENCH.md.
+
+Usage:
+  python tools/scaling_bench.py --cars-total 200000 --hosts 1024 \
+      --cores 8,32 [--out /tmp/scaling_world]
+
+Phases:
+  gen  — one 32-core session materializes pages+corpus parquet (untimed;
+         the "web" is not part of crawl throughput),
+  run  — subprocess per cores level: fresh JVM, crawl to frontier drain,
+         one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def gen_world(out: str, hosts: int, cars_per_host: int) -> None:
+    from auto_ria_spark.session import get_spark
+    from auto_ria_spark.sources import worldgen
+
+    spark = get_spark("scaling-gen", cores=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_images = hosts * cars_per_host
+    worldgen.pages_df(spark, hosts, cars_per_host, 100, partitions=128) \
+        .write.mode("overwrite").parquet(f"{out}/pages")
+    worldgen.corpus_df(spark, n_images, partitions=128) \
+        .write.mode("overwrite").parquet(f"{out}/corpus")
+    print(json.dumps({"phase": "gen", "pages": out, "images": n_images}))
+    spark.stop()
+
+
+def run_crawl(world: str, cores: int, hosts: int) -> None:
+    import time
+
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.plans.crawl import CrawlEngine
+    from auto_ria_spark.session import get_spark
+    from auto_ria_spark.sources import worldgen
+
+    spark = get_spark(f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(f"{world}/pages").cache()
+    corpus = spark.read.parquet(f"{world}/corpus").cache()
+    pages.count(), corpus.count()  # materialize the web before timing
+    cfg = CrawlConfig(host_budget=1000, phone_budget=1000, backoff_base_s=1,
+                      wave_seconds=5, num_shards=max(cores, 16),
+                      shuffle_partitions=max(cores, 8))
+    wh = f"/tmp/scaling_wh_{cores}"
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = CrawlEngine(spark, wh, cfg, pages=pages, corpus=corpus)
+    t0 = time.time()
+    stats = eng.run(seeds=worldgen.seed_rows(hosts))
+    dt = time.time() - t0
+    fetched = sum(s.selected for s in stats)
+    disc = sum(s.discovered for s in stats)
+    saved = sum(s.saved for s in stats)
+    imgs = eng.car_images().count()
+    img_ok = eng.car_images().filter("image_ok").count()
+    print(json.dumps({
+        "phase": "run", "cores": cores, "seconds": round(dt, 2),
+        "waves": len(stats), "urls_fetched": fetched,
+        "urls_discovered": disc, "cars_saved": saved,
+        "images_verified": imgs, "images_ok": img_ok,
+        "throughput_urls_per_sec": round((fetched + disc) / dt, 2),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cars-total", type=int, default=200_000)
+    ap.add_argument("--hosts", type=int, default=1024)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--out", default="/tmp/scaling_world")
+    ap.add_argument("--phase", default="all")
+    ap.add_argument("--run-cores", type=int, default=0)
+    args = ap.parse_args()
+    cars_per_host = args.cars_total // args.hosts
+
+    if args.phase == "gen":
+        gen_world(args.out, args.hosts, cars_per_host)
+        return
+    if args.phase == "run":
+        run_crawl(args.out, args.run_cores, args.hosts)
+        return
+
+    # orchestrate: gen once, run per cores level in fresh processes
+    if not os.path.exists(f"{args.out}/pages"):
+        subprocess.run([sys.executable, __file__, "--phase", "gen",
+                        "--out", args.out, "--hosts", str(args.hosts),
+                        "--cars-total", str(args.cars_total)],
+                       check=True, cwd=ROOT)
+    results = {}
+    for c in [int(x) for x in args.cores.split(",")]:
+        p = subprocess.run(
+            [sys.executable, __file__, "--phase", "run", "--out", args.out,
+             "--hosts", str(args.hosts), "--run-cores", str(c)],
+            check=True, cwd=ROOT, capture_output=True, text=True)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith('{"phase": "run"')][-1]
+        results[c] = json.loads(line)
+        print(line, flush=True)
+
+    cs = sorted(results)
+    lo, hi = cs[0], cs[-1]
+    eff = (results[hi]["throughput_urls_per_sec"]
+           / results[lo]["throughput_urls_per_sec"]) / (hi / lo)
+    summary = {
+        "phase": "summary",
+        "cores": cs,
+        "throughput": {c: results[c]["throughput_urls_per_sec"] for c in cs},
+        "seconds": {c: results[c]["seconds"] for c in cs},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
