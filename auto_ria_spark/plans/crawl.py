@@ -209,6 +209,55 @@ class CrawlEngine:
             self.t[name].write(empty_df(self.spark, schema),
                                mode="overwrite", tag=tag, num_files=1)
 
+    def start_from_df(self, seed_urls: DataFrame, kind: str = "car") -> None:
+        """Bulk-seed the frontier from a DataFrame of URLs (sitemap-style
+        bootstrap / resume-of-a-large-crawl regime: at 10^10 scale every
+        wave starts from a standing frontier like this, not from one seed).
+
+        ``seed_urls`` needs a ``url`` column; ranks are assigned per host in
+        URL order (a bulk seed has no listing-derived crawl order).
+        """
+        cfg = self.cfg
+        fr = (
+            seed_urls.select(U.canonicalize_url(F.col("url")).alias("url_norm"))
+            .withColumn("url_hash", U.url_hash64(F.col("url_norm")))
+            .withColumn("host", U.url_host(F.col("url_norm")))
+            .withColumn("kind", F.lit(kind))
+            .withColumn("kind_rank", U.kind_rank(F.lit(kind)))
+            .withColumn("page_index", F.lit(0))
+            .withColumn("pos_on_page", F.lit(0))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("not_before", F.lit(0).cast("long"))
+            .withColumn(
+                "discovery_rank",
+                F.row_number().over(
+                    Window.partitionBy("host").orderBy("url_norm"))
+                .cast("long"))
+            .withColumn("discovered_wave", F.lit(-1))
+            .select(*FRONTIER_COLS)
+        )
+        fr = robots_gate(fr, self.robots)
+        seen = fr.select("url_hash", "url_norm", "host", "kind",
+                         "discovery_rank", "discovered_wave")
+        tag = {"wave": -1}
+        nf = max(2, cfg.shuffle_partitions // 2)
+        self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=nf)
+        self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=nf)
+        filters = bloom.build_filters(
+            seen, None, num_shards=cfg.num_shards,
+            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=-1)
+        self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
+        hs = fr.groupBy("host").agg(
+            F.max("discovery_rank").alias("cars_discovered"),
+            F.lit(True).alias("pagination_done"))
+        self.t["host_state"].write(hs, mode="overwrite", tag=tag, num_files=2)
+        for name, schema in (("pending_cars", PENDING_SCHEMA),
+                             ("cars", CARS_SCHEMA),
+                             ("car_images", CAR_IMAGES_SCHEMA),
+                             ("metrics", METRICS_SCHEMA)):
+            self.t[name].write(empty_df(self.spark, schema),
+                               mode="overwrite", tag=tag, num_files=1)
+
     # ------------------------------------------------------------------ wave
     def run_wave(self, wave: int) -> WaveStats:
         import time as _time
@@ -222,6 +271,9 @@ class CrawlEngine:
             _t[name] = round(now - _t.pop("_last", _t["start"]), 3)
             _t["_last"] = now
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        stats_ex = ThreadPoolExecutor(max_workers=3)
         frontier = self._read("frontier", FRONTIER_SCHEMA)
         seen = self._read("seen_urls", SEEN_SCHEMA)
         filters = self.t["seen_filters"].read(spark)
@@ -241,9 +293,16 @@ class CrawlEngine:
             .localCheckpoint(eager=True)
         _mark("stage_L_fetch")
         (new_links, next_pages, seen_only, host_state_next,
-         d_disc, d_skip, d_enq) = self._discover(
+         flagged) = self._discover(
             lf.filter(F.col("status_code") == 200), seen, filters, cars,
             host_state, wave)
+        # discovery counters run concurrently with stages C/P (flagged is
+        # checkpointed — the agg is an independent tiny job)
+        crow_fut = stats_ex.submit(
+            lambda: flagged.groupBy().agg(
+                F.count("*").alias("disc"),
+                F.sum(F.col("__in_db").cast("int")).alias("skip"),
+                F.sum(F.col("__over").cast("int")).alias("over")).first())
 
         _mark("discover")
         # -- stage C: car fetch + field extraction ----------------------------
@@ -254,8 +313,14 @@ class CrawlEngine:
             .withColumn("__pid", F.spark_partition_id()) \
             .localCheckpoint(eager=True)
         _mark("stage_C_fetch")
-        new_pending, phone_rows, c_parsed, c_deleted, c_nophone = \
+        new_pending, phone_rows, parsed = \
             self._parse_cars(cf.filter(F.col("status_code") == 200), wave)
+        prow_fut = stats_ex.submit(
+            lambda: parsed.groupBy().agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("is_deleted").cast("int")).alias("deleted"),
+                F.sum(((~F.col("is_deleted")) & F.col("phone_url").isNull())
+                      .cast("int")).alias("nophone")).first())
         _mark("parse_cars")
 
         # -- stage P: phone fetch + assembly + save ---------------------------
@@ -321,24 +386,19 @@ class CrawlEngine:
         )
 
         _mark("plan_state")
-        # -- wave scalar stats (one small aggregate over the fetch log) --------
-        frow = fetched.groupBy().agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status_code").isin(429, 503)
-                         & (F.col("attempt") + 1 < cfg.max_attempts), 1)
-                  .otherwise(0)).alias("requeued"),
-            F.sum(F.when((F.col("status_code") == 404)
-                         | (F.col("status_code").isin(429, 503)
-                            & (F.col("attempt") + 1 >= cfg.max_attempts)), 1)
-                  .otherwise(0)).alias("errors"),
-        ).first()
-        st.selected = frow["n"]
-        st.fetched_ok = frow["ok"] or 0
-        st.requeued = frow["requeued"] or 0
-        st.errors = frow["errors"] or 0
-        st.discovered, st.skipped_db, st.enqueued = d_disc, d_skip, d_enq
-
+        # -- wave scalar stats (independent tiny jobs; run concurrently) -------
+        frow_fut = stats_ex.submit(
+            lambda: fetched.groupBy().agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("status_code") == 200, 1)
+                      .otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status_code").isin(429, 503)
+                             & (F.col("attempt") + 1 < cfg.max_attempts), 1)
+                      .otherwise(0)).alias("requeued"),
+                F.sum(F.when((F.col("status_code") == 404)
+                             | (F.col("status_code").isin(429, 503)
+                                & (F.col("attempt") + 1 >= cfg.max_attempts)),
+                             1).otherwise(0)).alias("errors")).first())
         _mark("stats_agg")
         # -- metrics / per-partition lineage ------------------------------------
         per_part = fetched.groupBy("__pid", "kind").agg(
@@ -382,12 +442,28 @@ class CrawlEngine:
                 ex.submit(self.t["host_state"].write, host_state_next,
                           "overwrite", tag, 1),
             ]
-            self.t["frontier"].write(frontier_next, mode="overwrite", tag=tag,
-                                     num_files=nf)
-            st.frontier_left = self.t["frontier"].read(spark).count()
+            fsnap = self.t["frontier"].write(frontier_next, mode="overwrite",
+                                             tag=tag, num_files=nf)
+            # row count comes from the parquet footers of the files just
+            # written — no read-back Spark job
+            st.frontier_left = fsnap["rows"]
             for fut in futs:
                 fut.result()
         _mark("w_tables")
+        frow = frow_fut.result()
+        crow = crow_fut.result()
+        prow = prow_fut.result()
+        stats_ex.shutdown(wait=False)
+        st.selected = frow["n"] or 0
+        st.fetched_ok = frow["ok"] or 0
+        st.requeued = frow["requeued"] or 0
+        st.errors = frow["errors"] or 0
+        st.discovered = crow["disc"] or 0
+        st.skipped_db = crow["skip"] or 0
+        st.enqueued = st.discovered - st.skipped_db - (crow["over"] or 0)
+        c_parsed, c_deleted, c_nophone = (prow["n"] or 0,
+                                          prow["deleted"] or 0,
+                                          prow["nophone"] or 0)
         summary = local_df(
             self.spark,
             [(wave, -1, "all", "fetched", int(st.selected)),
@@ -478,13 +554,6 @@ class CrawlEngine:
                 & (F.col("discovery_rank") > cfg.max_cars))
             .localCheckpoint(eager=True)
         )
-        crow = flagged.groupBy().agg(
-            F.count("*").alias("disc"),
-            F.sum(F.col("__in_db").cast("int")).alias("skip"),
-            F.sum(F.col("__over").cast("int")).alias("over")).first()
-        d_disc = crow["disc"] or 0
-        d_skip = crow["skip"] or 0
-        d_enq = d_disc - d_skip - (crow["over"] or 0)
 
         new_links = flagged.filter(~F.col("__in_db") & ~F.col("__over")).select(
             "url_norm", "url_hash", "host",
@@ -542,8 +611,7 @@ class CrawlEngine:
             F.lit(wave).alias("discovered_wave"),
         )
         next_pages = robots_gate(next_pages, self.robots)
-        return (new_links, next_pages, seen_only, host_state_next,
-                d_disc, d_skip, d_enq)
+        return (new_links, next_pages, seen_only, host_state_next, flagged)
 
     def _parse_cars(self, car_ok: DataFrame, wave: int):
         """Car-page field projection (P2-P11, P14/P15) + F3 deleted drop."""
@@ -563,11 +631,6 @@ class CrawlEngine:
             X.extract_images_count(body, X.extract_image_url(body))
             .alias("images_count"),
         ).localCheckpoint(eager=True)
-        prow = parsed.groupBy().agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("is_deleted").cast("int")).alias("deleted"),
-            F.sum(((~F.col("is_deleted")) & F.col("phone_url").isNull())
-                  .cast("int")).alias("nophone")).first()
         with_phone = (
             parsed.filter(~F.col("is_deleted"))            # F3
             .filter(F.col("phone_url").isNotNull())        # F4 (no handle)
@@ -590,8 +653,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("not_before"),
             "discovery_rank",
             F.lit(wave).alias("discovered_wave"))
-        return (new_pending, phone_rows, prow["n"] or 0,
-                prow["deleted"] or 0, prow["nophone"] or 0)
+        return new_pending, phone_rows, parsed
 
     def _resolve_phones(self, phone_ok: DataFrame, pending: DataFrame):
         """P16/P6/P17/P18 + J4 dedup: assemble + save car rows."""
@@ -633,44 +695,40 @@ class CrawlEngine:
             return empty_df(self.spark, CAR_IMAGES_SCHEMA)
         cand = saved_rows.filter(F.col("image_id").isNotNull()).select(
             "image_id", "url")
-        joined = cand.join(
-            self.corpus.select("image_id", "bytes", "w", "h", "phash",
-                               "caption"),
-            "image_id", "left")
+        # broadcast the (small) wave's candidates so the corpus is NEVER
+        # shuffled — the scan streams corpus partitions and keeps matches.
+        # At 10^10 scale the corpus is Iceberg bucketed by image_id and this
+        # becomes a storage-partitioned join instead.
+        joined = self.corpus.select(
+            "image_id", "bytes", "w", "h", "phash", "caption"
+        ).join(F.broadcast(cand), "image_id", "inner")
 
         def verify(batches):
             import pandas as pd
 
             from auto_ria_spark.functions import imaging
 
+            cols = ["image_id", "url", "w", "h", "decoded_w", "decoded_h",
+                    "phash", "decoded_phash", "image_ok", "caption",
+                    "verified_wave"]
             for pdf in batches:
                 out = []
-                for _, row in pdf.iterrows():
-                    rec = {"image_id": row["image_id"], "url": row["url"],
-                           "w": row["w"], "h": row["h"],
-                           "phash": row["phash"], "caption": row["caption"],
-                           "decoded_w": None, "decoded_h": None,
-                           "decoded_phash": None, "image_ok": False,
-                           "verified_wave": wave}
-                    data = row["bytes"]
+                for iid, url, data, w, h, phash, caption in zip(
+                        pdf["image_id"], pdf["url"], pdf["bytes"], pdf["w"],
+                        pdf["h"], pdf["phash"], pdf["caption"]):
+                    dw = dh = dph = None
+                    ok = False
                     if data is not None:
                         try:
                             px = imaging.decode_image(bytes(data))
-                            ph = imaging.phash64(px)
-                            rec.update(
-                                decoded_w=px.shape[1], decoded_h=px.shape[0],
-                                decoded_phash=ph,
-                                image_ok=bool(
-                                    px.shape[1] == row["w"]
-                                    and px.shape[0] == row["h"]
-                                    and ph == row["phash"]))
+                            dph = imaging.phash64(px)
+                            dh, dw = px.shape[0], px.shape[1]
+                            ok = bool(dw == w and dh == h and dph == phash)
                         except Exception:
                             pass
-                    out.append(rec)
-                yield pd.DataFrame(
-                    out, columns=["image_id", "url", "w", "h", "decoded_w",
-                                  "decoded_h", "phash", "decoded_phash",
-                                  "image_ok", "caption", "verified_wave"])
+                    out.append((iid, url, w, h, dw, dh, phash, dph, ok,
+                                caption, wave))
+                yield pd.DataFrame(out, columns=cols)
 
         return joined.mapInPandas(verify, schema=CAR_IMAGES_SCHEMA)
 

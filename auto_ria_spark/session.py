@@ -16,7 +16,7 @@ def get_spark(
     app_name: str = "auto-ria-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 256,
+    arrow_max_records: int = 2048,
     extra: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

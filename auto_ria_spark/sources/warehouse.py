@@ -104,7 +104,16 @@ class SnapshotTable:
             for fn in os.listdir(sub)
             if fn.endswith(".parquet")
         ]
-        return self._commit(files, mode, tag)
+        snap = self._commit(files, mode, tag)
+        # row count of THIS write from the parquet footers (no Spark job)
+        try:
+            import pyarrow.parquet as pq
+
+            snap["rows"] = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:  # pragma: no cover
+            snap["rows"] = None
+        return snap
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()

@@ -45,8 +45,10 @@ def gen_world(out: str, hosts: int, cars_per_host: int) -> None:
     spark.stop()
 
 
-def run_crawl(world: str, cores: int, hosts: int) -> None:
+def run_crawl(world: str, cores: int, hosts: int, saturated: bool) -> None:
     import time
+
+    from pyspark.sql import functions as F
 
     from auto_ria_spark.config import CrawlConfig
     from auto_ria_spark.plans.crawl import CrawlEngine
@@ -59,14 +61,25 @@ def run_crawl(world: str, cores: int, hosts: int) -> None:
     pages = spark.read.parquet(f"{world}/pages").cache()
     corpus = spark.read.parquet(f"{world}/corpus").cache()
     pages.count(), corpus.count()  # materialize the web before timing
-    cfg = CrawlConfig(host_budget=1000, phone_budget=1000, backoff_base_s=1,
+    cfg = CrawlConfig(host_budget=10**9 if saturated else 1000,
+                      phone_budget=10**9 if saturated else 1000,
+                      backoff_base_s=1,
                       wave_seconds=5, num_shards=max(cores, 16),
                       shuffle_partitions=max(cores, 8))
     wh = f"/tmp/scaling_wh_{cores}"
     shutil.rmtree(wh, ignore_errors=True)
     eng = CrawlEngine(spark, wh, cfg, pages=pages, corpus=corpus)
-    t0 = time.time()
-    stats = eng.run(seeds=worldgen.seed_rows(hosts))
+    if saturated:
+        # standing-frontier regime: every wave is huge (what waves look
+        # like mid-crawl at 10^10 scale); seed all car URLs, 2 mega-waves
+        seeds_df = pages.filter(F.col("kind") == "car").select(
+            F.col("url_norm").alias("url"))
+        eng.start_from_df(seeds_df, kind="car")
+        t0 = time.time()
+        stats = eng.run(seeds=None)
+    else:
+        t0 = time.time()
+        stats = eng.run(seeds=worldgen.seed_rows(hosts))
     dt = time.time() - t0
     fetched = sum(s.selected for s in stats)
     disc = sum(s.discovered for s in stats)
@@ -91,6 +104,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scaling_world")
     ap.add_argument("--phase", default="all")
     ap.add_argument("--run-cores", type=int, default=0)
+    ap.add_argument("--saturated", action="store_true",
+                    help="standing-frontier regime: bulk-seed all car URLs")
     args = ap.parse_args()
     cars_per_host = args.cars_total // args.hosts
 
@@ -98,7 +113,7 @@ def main() -> None:
         gen_world(args.out, args.hosts, cars_per_host)
         return
     if args.phase == "run":
-        run_crawl(args.out, args.run_cores, args.hosts)
+        run_crawl(args.out, args.run_cores, args.hosts, args.saturated)
         return
 
     # orchestrate: gen once, run per cores level in fresh processes
@@ -109,10 +124,12 @@ def main() -> None:
                        check=True, cwd=ROOT)
     results = {}
     for c in [int(x) for x in args.cores.split(",")]:
-        p = subprocess.run(
-            [sys.executable, __file__, "--phase", "run", "--out", args.out,
-             "--hosts", str(args.hosts), "--run-cores", str(c)],
-            check=True, cwd=ROOT, capture_output=True, text=True)
+        cmd = [sys.executable, __file__, "--phase", "run", "--out", args.out,
+               "--hosts", str(args.hosts), "--run-cores", str(c)]
+        if args.saturated:
+            cmd.append("--saturated")
+        p = subprocess.run(cmd, check=True, cwd=ROOT, capture_output=True,
+                           text=True)
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith('{"phase": "run"')][-1]
         results[c] = json.loads(line)
@@ -124,6 +141,7 @@ def main() -> None:
            / results[lo]["throughput_urls_per_sec"]) / (hi / lo)
     summary = {
         "phase": "summary",
+        "mode": "saturated" if args.saturated else "from_seed",
         "cores": cs,
         "throughput": {c: results[c]["throughput_urls_per_sec"] for c in cs},
         "seconds": {c: results[c]["seconds"] for c in cs},
