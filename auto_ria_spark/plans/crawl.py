@@ -428,22 +428,27 @@ class CrawlEngine:
         # on a cluster these are concurrent Iceberg commits to distinct tables)
         from concurrent.futures import ThreadPoolExecutor
 
+        def _timed(name, table, df, mode, nfi):
+            t0 = _time.time()
+            snap = self.t[table].write(df, mode, tag, nfi)
+            _t[f"wt_{name}"] = round(_time.time() - t0, 3)
+            return snap
+
         with ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
-                ex.submit(self.t["seen_urls"].write, seen_add, "append",
-                          tag, nf),
-                ex.submit(self.t["seen_filters"].write, filters_next,
-                          "overwrite", tag, None),
-                ex.submit(self.t["pending_cars"].write, pending_next,
-                          "overwrite", tag, nf),
-                ex.submit(self.t["cars"].write, saved_rows, "append", tag, nf),
-                ex.submit(self.t["car_images"].write, car_images_new,
-                          "append", tag, nf),
-                ex.submit(self.t["host_state"].write, host_state_next,
-                          "overwrite", tag, 1),
+                ex.submit(_timed, "seen", "seen_urls", seen_add, "append", nf),
+                ex.submit(_timed, "filters", "seen_filters", filters_next,
+                          "overwrite", None),
+                ex.submit(_timed, "pending", "pending_cars", pending_next,
+                          "overwrite", nf),
+                ex.submit(_timed, "cars", "cars", saved_rows, "append", nf),
+                ex.submit(_timed, "imgs", "car_images", car_images_new,
+                          "append", nf),
+                ex.submit(_timed, "hoststate", "host_state", host_state_next,
+                          "overwrite", 1),
             ]
-            fsnap = self.t["frontier"].write(frontier_next, mode="overwrite",
-                                             tag=tag, num_files=nf)
+            fsnap = _timed("frontier", "frontier", frontier_next,
+                           "overwrite", nf)
             # row count comes from the parquet footers of the files just
             # written — no read-back Spark job
             st.frontier_left = fsnap["rows"]

@@ -23,10 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# crawl world sized to the SF tier: sf0.1 -> 20k cars over 4 hosts
+# crawl world sized to the SF tier: sf0.1 -> 20k cars over 32 hosts (wide,
+# so per-host sequential pagination doesn't serialize the whole run into
+# 50+ tiny waves — crawl wall-clock is page-depth-bound per host by design)
 _SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
-CARS_PER_HOST = int(os.environ.get("BENCH_CARS", str(int(50_000 * _SF_GUESS))))
-HOSTS = 4
+HOSTS = 32
+_TOTAL = int(os.environ.get("BENCH_CARS", str(int(200_000 * _SF_GUESS))))
+CARS_PER_HOST = max(_TOTAL // HOSTS, 20)
 
 HEADLINE = ["tpch_pricing", "nation_revenue", "dedup_exact",
             "minhash_signatures", "lsh_candidate_pairs", "simhash",

@@ -81,3 +81,37 @@ def test_robots_gate_longest_prefix_wins(spark):
     )
     kept = {r.url_norm for r in robots_gate(df, robots).collect()}
     assert kept == {"https://h/a/x", "https://other/a/private/x"}
+
+
+# --------------------------------------------------------------- cuckoo
+def test_cuckoo_insert_probe_delete(spark):
+    from auto_ria_spark.operators import cuckoo
+
+    NB = 1 << 12  # 4096 buckets x 4 slots
+    inserted = _urls_df(spark, 0, 2000)
+    flt = cuckoo.build_cuckoo(inserted, None, num_shards=SHARDS,
+                              n_buckets=NB, wave=0).cache()
+    assert flt.count() == SHARDS
+    assert flt.agg(F.sum("n_items")).first()[0] == 2000
+
+    # no false negatives
+    probed = cuckoo.probe_cuckoo(inserted, flt, num_shards=SHARDS,
+                                 n_buckets=NB)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    # FPR sane (16-bit fingerprints -> ~1e-4; allow slack)
+    fresh = _urls_df(spark, 500_000, 504_000)
+    fpr = cuckoo.probe_cuckoo(fresh, flt, num_shards=SHARDS, n_buckets=NB) \
+        .filter(F.col("maybe_seen")).count() / 4000
+    assert fpr < 0.01, fpr
+
+    # delete half -> deleted gone, kept still present (the Bloom-impossible op)
+    to_del = _urls_df(spark, 0, 1000)
+    flt2 = cuckoo.delete_cuckoo(to_del, flt, num_shards=SHARDS,
+                                n_buckets=NB, wave=1).cache()
+    assert flt2.agg(F.sum("n_items")).first()[0] == 1000
+    gone = cuckoo.probe_cuckoo(to_del, flt2, num_shards=SHARDS, n_buckets=NB)
+    assert gone.filter(F.col("maybe_seen")).count() < 10  # residual FPR only
+    kept = _urls_df(spark, 1000, 2000)
+    still = cuckoo.probe_cuckoo(kept, flt2, num_shards=SHARDS, n_buckets=NB)
+    assert still.filter(~F.col("maybe_seen")).count() == 0

@@ -96,6 +96,34 @@ def run_crawl(world: str, cores: int, hosts: int, saturated: bool) -> None:
     spark.stop()
 
 
+def run_verify_only(world: str, cores: int) -> None:
+    """Single-operator scaling: the corpus image-verification stage alone
+    (decode + phash over Arrow batches) — the per-URL work component."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from auto_ria_spark.functions.corpus import decode_stats
+    from auto_ria_spark.session import get_spark
+
+    spark = get_spark(f"verify-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(f"{world}/corpus").cache()
+    n = corpus.count()
+    t0 = time.time()
+    out = decode_stats(corpus.repartition(max(cores * 4, 32)))
+    ok = out.filter(F.col("phash").isNotNull()).count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "phase": "run", "cores": cores, "seconds": round(dt, 2),
+        "waves": 1, "urls_fetched": n, "urls_discovered": 0,
+        "cars_saved": 0, "images_verified": ok, "images_ok": ok,
+        "throughput_urls_per_sec": round(n / dt, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cars-total", type=int, default=200_000)
@@ -106,6 +134,8 @@ def main() -> None:
     ap.add_argument("--run-cores", type=int, default=0)
     ap.add_argument("--saturated", action="store_true",
                     help="standing-frontier regime: bulk-seed all car URLs")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="single-operator mode: image verify stage alone")
     args = ap.parse_args()
     cars_per_host = args.cars_total // args.hosts
 
@@ -113,7 +143,10 @@ def main() -> None:
         gen_world(args.out, args.hosts, cars_per_host)
         return
     if args.phase == "run":
-        run_crawl(args.out, args.run_cores, args.hosts, args.saturated)
+        if args.verify_only:
+            run_verify_only(args.out, args.run_cores)
+        else:
+            run_crawl(args.out, args.run_cores, args.hosts, args.saturated)
         return
 
     # orchestrate: gen once, run per cores level in fresh processes
@@ -128,6 +161,8 @@ def main() -> None:
                "--hosts", str(args.hosts), "--run-cores", str(c)]
         if args.saturated:
             cmd.append("--saturated")
+        if args.verify_only:
+            cmd.append("--verify-only")
         p = subprocess.run(cmd, check=True, cwd=ROOT, capture_output=True,
                            text=True)
         line = [ln for ln in p.stdout.splitlines()
@@ -141,7 +176,8 @@ def main() -> None:
            / results[lo]["throughput_urls_per_sec"]) / (hi / lo)
     summary = {
         "phase": "summary",
-        "mode": "saturated" if args.saturated else "from_seed",
+        "mode": ("verify_only" if args.verify_only
+                 else "saturated" if args.saturated else "from_seed"),
         "cores": cs,
         "throughput": {c: results[c]["throughput_urls_per_sec"] for c in cs},
         "seconds": {c: results[c]["seconds"] for c in cs},
