@@ -287,7 +287,7 @@ class CrawlEngine:
         # -- stage L: listing fetch + discovery -------------------------------
         listing_sel = top_b_per_host(
             eligible.filter(F.col("kind").isin("listing", "sitemap")),
-            cfg.listing_budget, ["kind_rank", "page_index"])
+            cfg.listing_budget, ["kind_rank", "page_index", "url_norm"])
         lf = fetched_frontier(listing_sel, self.pages) \
             .withColumn("__pid", F.spark_partition_id()) \
             .localCheckpoint(eager=True)
@@ -499,17 +499,22 @@ class CrawlEngine:
         cfg = self.cfg
         links = listing_ok.select(
             F.col("url_norm").alias("page_url"),
-            F.col("host"),
+            F.col("kind").alias("page_kind"),
+            F.col("host").alias("page_host"),
             F.col("page_index"),
             F.posexplode_outer(X.listing_links(F.col("body")))
             .alias("pos_on_page", "href"),
         )
         # empty pages (F6) surface as one null-href row: they gate pagination
-        # below but contribute no links
+        # below but contribute no links.  Links classify by their own URL
+        # (sitemap pages list listing pages; listing pages list car pages)
+        # and carry their own host (cross-host links allowed).
         link_rows = links.filter(F.col("href").isNotNull()).select(
-            "host", "page_index", "pos_on_page",
+            "page_index", "pos_on_page",
             U.canonicalize_url(F.col("href")).alias("url_norm"),
-        ).withColumn("url_hash", U.url_hash64(F.col("url_norm")))
+        ).withColumn("url_hash", U.url_hash64(F.col("url_norm"))) \
+            .withColumn("host", U.url_host(F.col("url_norm"))) \
+            .withColumn("link_kind", U.classify_kind(F.col("url_norm")))
 
         # F1a: within-wave first occurrence (min (page_index, pos) wins)
         w_first = Window.partitionBy("url_hash").orderBy("page_index",
@@ -530,6 +535,9 @@ class CrawlEngine:
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         new = certain_new.unionByName(
             maybe.join(seen.select("url_hash"), "url_hash", "left_anti"))
+        # sitemap-discovered listing chains start their own pagination
+        new_listing_pages = new.filter(F.col("link_kind") == "listing")
+        new = new.filter(F.col("link_kind") == "car").drop("link_kind")
 
         # F8: per-host discovery ranks continue from the host's running count
         prev_counts = host_state.select(
@@ -586,9 +594,13 @@ class CrawlEngine:
                 .alias("pagination_done"))
         )
 
-        # pagination (P13 + F6/F7/F8 stop rules)
-        page_counts = links.groupBy("page_url", "host", "page_index").agg(
-            F.count(F.col("href")).alias("n_links"))
+        # pagination (P13 + F6/F7/F8 stop rules) — listing pages only
+        page_counts = (
+            links.filter(F.col("page_kind") == "listing")
+            .groupBy("page_url", F.col("page_host").alias("host"),
+                     "page_index")
+            .agg(F.count(F.col("href")).alias("n_links"))
+        )
         after_counts = host_state_next.select(
             "host", F.col("cars_discovered").alias("__after"))
         np_gate = page_counts.join(after_counts, "host", "left").filter(
@@ -614,6 +626,21 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("not_before"),
             F.lit(None).cast("long").alias("discovery_rank"),
             F.lit(wave).alias("discovered_wave"),
+        )
+        sitemap_listings = new_listing_pages.select(
+            "url_norm", "url_hash", "host",
+            F.lit("listing").alias("kind"),
+            U.kind_rank(F.lit("listing")).alias("kind_rank"),
+            F.lit(0).alias("page_index"),   # each chain restarts page_count
+            "pos_on_page",
+            F.lit(0).alias("attempt"),
+            F.lit(0).cast("long").alias("not_before"),
+            F.lit(None).cast("long").alias("discovery_rank"),
+            F.lit(wave).alias("discovered_wave"),
+        )
+        next_pages = (
+            next_pages.unionByName(sitemap_listings)
+            .dropDuplicates(["url_hash"])
         )
         next_pages = robots_gate(next_pages, self.robots)
         return (new_links, next_pages, seen_only, host_state_next, flagged)

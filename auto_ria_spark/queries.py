@@ -405,6 +405,33 @@ def q_ann_lsh_buckets(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup detection (the dedup variant of ANN):
+    sign-LSH bucket first (never all-pairs), then exact cosine within the
+    bucket; pairs above threshold are duplicate candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.element_at(F.col("embedding"), d + 1) > 0,
+                F.lit(1 << d)).otherwise(0) for d in range(8)),
+        start=F.lit(0))
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"),
+                    bucket.alias("bucket"))
+    norms = vecs.select("vec_id", "bucket", "emb",
+                        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    a = norms.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
+                     F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = norms.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
+                     F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(_dot(F.col("ea"), F.col("eb"))
+                        / (F.col("na") * F.col("nb")), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token count, mean token length, stopword ratio,
     uppercase ratio — the corpus-filtering primitive."""
@@ -692,6 +719,28 @@ _ORACLES: dict[str, str] = {
         FROM scored
         QUALIFY rnk <= 3
     """,
+    "embedding_near_dup": """
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+                 AS cos
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+              >= 0.35
+    """,
     "text_quality": """
         WITH t AS (
           SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
@@ -758,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,

@@ -159,6 +159,33 @@ def test_property_randomized_worlds(spark, tmp_path, seed_n):
     assert_match(eng, oracle)
 
 
+def test_sitemap_seeded_crawl(spark, tmp_path):
+    """Sitemap-then-listing BFS (north-star generalization): a sitemap page
+    lists three hosts' listing chains; the crawl equals the union of the
+    three independently-seeded crawls (oracle with 3 seeds)."""
+    import json as _json
+
+    n_hosts, cars = 3, 40
+    world = worldgen.build_world_local(n_hosts, cars, 20)
+    sitemap_url = "https://auto.ria.test/sitemap.xml"
+    listing_seeds = [worldgen.listing_url(h, 0) for h in range(n_hosts)]
+    world.append({
+        "url_norm": sitemap_url, "kind": "sitemap", "host": "auto.ria.test",
+        "payload": _json.dumps({"links": _json.dumps(listing_seeds)}),
+        "fail_503_times": 0, "retry_after": None,
+    })
+    pages = spark.createDataFrame(world, schema=worldgen.PAGES_SCHEMA)
+    eng = CrawlEngine(spark, str(tmp_path / "whs"), _cfg(), pages=pages)
+    eng.run(seeds=[{"url": sitemap_url, "kind": "sitemap"}], max_waves=100)
+
+    oracle = crawl_oracle(
+        world, [{"url": u, "kind": "listing"} for u in listing_seeds], _cfg())
+    got_seen = {r.url_norm for r in eng.seen().collect()} - {sitemap_url}
+    assert got_seen == oracle.seen
+    got = {r.url for r in eng.cars_final().collect()}
+    assert got == {c["url"] for c in oracle.cars}
+
+
 def test_crawl_with_corpus_image_verification(spark, tmp_path):
     """Stage V: every saved car's photo decodes back to the corpus row's
     phash + dimensions (the input_hint per-row invariant, engine-side)."""
