@@ -32,8 +32,6 @@ re-hashing executor-side.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -149,38 +147,52 @@ def probe_filters(
     num_shards: int,
     m_bits: int,
     k: int,
+    cand_cols: list[str] | None = None,
+    cand_schema: str | None = None,
 ) -> DataFrame:
     """Add boolean ``maybe_seen`` to candidates (needs ``url_hash``).
 
-    Bitsets ride along via a shard-key equi-join (broadcast: ``num_shards``
-    rows).  False => certainly new; True => must pass the exact anti-join.
+    Shard-partitioned probe: candidates are repartitioned by their shard
+    key and **cogrouped** with the filter table, so each task materializes
+    its shard's bitset exactly once and probes all of its candidates in a
+    single vectorized pass.  (A broadcast-join-then-mapInPandas would
+    replicate the bitset into every candidate row's Arrow batch — at the
+    production sizing of 2^27-2^30 bits that is 16-128 MiB *per row* of
+    Arrow traffic, a scale-killer.)  At 10^10 scale both sides are bucketed
+    by url_hash, so this cogroup is shuffle-free on the candidate side.
+
+    False => certainly new; True => must pass the exact anti-join.
     """
     if filters is None:
         return candidates.withColumn("maybe_seen", F.lit(False))
-    flt = F.broadcast(filters.select("shard", "bitset"))
     with_shard = candidates.withColumn(
-        "__shard", shard_of(F.col("url_hash"), num_shards)
-    ).join(flt, F.col("__shard") == F.col("shard"), "left")
+        "__shard", shard_of(F.col("url_hash"), num_shards))
+    flt = filters.select("shard", "bitset")
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
-    ) + ", maybe_seen boolean"
-    cand_cols = [f.name for f in candidates.schema.fields]
+    # caller-supplied shape skips a full analysis-triggering schema access
+    if cand_schema is None:
+        cand_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in candidates.schema.fields)
+    if cand_cols is None:
+        cand_cols = [f.name for f in candidates.schema.fields]
+    out_schema = cand_schema + ", maybe_seen boolean"
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            maybe = np.zeros(len(pdf), bool)
-            hashes = pdf["url_hash"].to_numpy(np.int64)
-            for bs, idx in pdf.groupby("bitset", sort=False).groups.items():
-                bitset = np.frombuffer(bs, np.uint8)
-                ix = np.asarray(idx)
-                maybe[ix] = _test_bits(
-                    bitset, _bit_positions(hashes[ix], k, m_bits)
-                )
-            out = pdf[cand_cols].copy()
-            out["maybe_seen"] = maybe
-            yield out
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+        maybe = np.zeros(len(left), bool)
+        if len(right):
+            # the bitset is loaded ONCE per (shard, task), not per row
+            bitset = np.frombuffer(right["bitset"].iloc[0], np.uint8)
+            hashes = left["url_hash"].to_numpy(np.int64)
+            maybe = _test_bits(bitset, _bit_positions(hashes, k, m_bits))
+        out = left[cand_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
 
-    return with_shard.mapInPandas(probe, schema=out_schema)
+    return (
+        with_shard.groupBy("__shard")
+        .cogroup(flt.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )

@@ -7,7 +7,7 @@ shard-state join + vectorized numpy probe via ``mapInPandas``), plus the
 one thing Bloom cannot do: **deletion** — needed when a URL must be
 re-crawled (listing refresh, retracted car, freshness-priority re-queue).
 
-Standard cuckoo filter (Fan et al., CoNLL'14 public construction):
+Standard cuckoo filter (Fan et al., CoNEXT'14 public construction):
 buckets of ``SLOTS``=4 16-bit fingerprints; item x lives in bucket
 ``i1 = h(x) % nb`` or ``i2 = i1 ^ h(fp(x)) % nb``; insert kicks a random
 victim on overflow (deterministic LCG here — reproducibility), up to
@@ -15,13 +15,24 @@ victim on overflow (deterministic LCG here — reproducibility), up to
 buckets.  At 10^10 URLs: 4096 shards x 2^22 buckets x 4 slots x 2 B =
 32 MiB/shard, load factor <= 0.95, FPR ~ 2*4/2^16 ~ 1.2e-4.
 
+Two correctness rules this implementation enforces:
+
+* **n_buckets MUST be a power of two** — the partial-key alt-bucket map
+  ``b2 = (b1 ^ h(fp)) % nb`` is an involution only then; any other size
+  makes kicked items unfindable (false negatives).  ``_mutate`` and
+  ``probe_cuckoo`` raise on violation.
+* **duplicate fingerprints are STORED, never coalesced** — the standard
+  deletion-safety rule: two distinct keys colliding on (fingerprint,
+  bucket-pair) must hold two slots, else deleting one makes the other
+  probe negative.  Callers therefore insert each key at most once (the
+  engine's seen-set discipline guarantees it); ``n_items`` counts slots
+  actually written / freed, i.e. true occupancy.
+
 Fingerprints/buckets derive from the already-computed 64-bit url_hash via
 the same splitmix64 finalizers as the Bloom path — no string re-hashing.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -53,17 +64,28 @@ def _alt_bucket(fp: np.uint16, b: int, n_buckets: int) -> int:
     return int((b ^ fph) % n_buckets)
 
 
+def _check_n_buckets(n_buckets: int) -> None:
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            f"cuckoo n_buckets must be a power of two, got {n_buckets}: "
+            "the alt-bucket map b2 = (b1 ^ h(fp)) % nb is only an "
+            "involution for power-of-two sizes (kicked items would be "
+            "unfindable otherwise)")
+
+
 def _insert_many(table: np.ndarray, hashes: np.ndarray, n_buckets: int) -> int:
     """Insert hashes into the (n_buckets, SLOTS) uint16 table; returns the
-    number inserted (raises on pathological overflow)."""
+    number of slots actually written (raises on pathological overflow).
+
+    Equal fingerprints landing in the same bucket pair are stored as
+    separate copies (deletion safety — see module docstring), so every
+    successful insert writes exactly one slot.
+    """
     fp, b1, b2 = _fp_and_buckets(hashes, n_buckets)
     rng_state = np.uint64(0x9E3779B97F4A7C15)
-    inserted = 0
+    written = 0
     for i in range(len(hashes)):
         f, x1, x2 = fp[i], int(b1[i]), int(b2[i])
-        if f in table[x1] or f in table[x2]:
-            inserted += 1  # already present (same fingerprint) — idempotent
-            continue
         placed = False
         for b in (x1, x2):
             empty = np.where(table[b] == 0)[0]
@@ -72,7 +94,7 @@ def _insert_many(table: np.ndarray, hashes: np.ndarray, n_buckets: int) -> int:
                 placed = True
                 break
         if placed:
-            inserted += 1
+            written += 1
             continue
         # kick loop (deterministic victim selection)
         b, cur = x1, f
@@ -88,8 +110,8 @@ def _insert_many(table: np.ndarray, hashes: np.ndarray, n_buckets: int) -> int:
                 break
         if cur is not None:  # pragma: no cover - sized for <=95% load
             raise RuntimeError("cuckoo shard overflow — resize the shard")
-        inserted += 1
-    return inserted
+        written += 1
+    return written
 
 
 def _contains(table: np.ndarray, hashes: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -114,6 +136,7 @@ def _delete_many(table: np.ndarray, hashes: np.ndarray, n_buckets: int) -> int:
 
 def _mutate(op: str, urls: DataFrame, prior: DataFrame | None, *,
             num_shards: int, n_buckets: int, wave: int) -> DataFrame:
+    _check_n_buckets(n_buckets)
     spark = urls.sparkSession
     hashed = urls.select(
         shard_of(F.col("url_hash"), num_shards).alias("shard"),
@@ -163,30 +186,35 @@ def delete_cuckoo(urls, prior, *, num_shards, n_buckets, wave):
 
 def probe_cuckoo(candidates: DataFrame, filters: DataFrame | None, *,
                  num_shards: int, n_buckets: int) -> DataFrame:
-    """Add boolean ``maybe_seen`` (same contract as bloom.probe_filters)."""
+    """Add boolean ``maybe_seen`` (same contract as bloom.probe_filters):
+    shard-partitioned cogroup, one table materialization per task — never
+    a per-row broadcast of the shard state (see bloom.probe_filters)."""
+    _check_n_buckets(n_buckets)
     if filters is None:
         return candidates.withColumn("maybe_seen", F.lit(False))
-    flt = F.broadcast(filters.select("shard", "table"))
     with_shard = candidates.withColumn(
-        "__shard", shard_of(F.col("url_hash"), num_shards)
-    ).join(flt, F.col("__shard") == F.col("shard"), "left")
+        "__shard", shard_of(F.col("url_hash"), num_shards))
+    flt = filters.select("shard", "table")
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in candidates.schema.fields) + ", maybe_seen boolean"
     cand_cols = [f.name for f in candidates.schema.fields]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            maybe = np.zeros(len(pdf), bool)
-            hashes = pdf["url_hash"].to_numpy(np.int64)
-            for tb, idx in pdf.groupby("table", sort=False).groups.items():
-                table = np.frombuffer(tb, np.uint16).reshape(n_buckets, SLOTS)
-                ix = np.asarray(idx)
-                maybe[ix] = _contains(table, hashes[ix], n_buckets)
-            out = pdf[cand_cols].copy()
-            out["maybe_seen"] = maybe
-            yield out
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+        maybe = np.zeros(len(left), bool)
+        if len(right):
+            table = np.frombuffer(
+                right["table"].iloc[0], np.uint16).reshape(n_buckets, SLOTS)
+            hashes = left["url_hash"].to_numpy(np.int64)
+            maybe = _contains(table, hashes, n_buckets)
+        out = left[cand_cols].copy()
+        out["maybe_seen"] = maybe
+        return out
 
-    return with_shard.mapInPandas(probe, schema=out_schema)
+    return (
+        with_shard.groupBy("__shard")
+        .cogroup(flt.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )

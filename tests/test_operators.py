@@ -51,6 +51,27 @@ def test_bloom_incremental_merge_preserves_members(spark):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_bloom_probe_production_sized_shards(spark):
+    """Scale check: the cogrouped probe loads each shard's bitset ONCE per
+    task, so production-sized shards (2^24 bits = 2 MiB each here; 2^27-2^30
+    in the real sizing) must probe a large candidate batch without blowing
+    Arrow memory (the old broadcast-join path shipped bitset x rows)."""
+    mbits = 1 << 24
+    inserted = _urls_df(spark, 0, 20_000)
+    filters = bloom.build_filters(inserted, None, num_shards=SHARDS,
+                                  m_bits=mbits, k=K, wave=0).cache()
+    assert filters.count() == SHARDS
+    probed = bloom.probe_filters(inserted, filters, num_shards=SHARDS,
+                                 m_bits=mbits, k=K)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    fresh = _urls_df(spark, 1_000_000, 1_004_000)
+    fpr = bloom.probe_filters(fresh, filters, num_shards=SHARDS,
+                              m_bits=mbits, k=K) \
+        .filter(F.col("maybe_seen")).count() / 4000
+    assert fpr < 0.001, fpr
+    filters.unpersist()
+
+
 def test_top_b_per_host_exact_and_deterministic(spark):
     df = spark.range(0, 3000).select(
         F.concat(F.lit("host"), (F.col("id") % 3)).alias("host"),
