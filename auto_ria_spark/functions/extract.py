@@ -170,6 +170,33 @@ def phone_from_json(body: Column) -> Column:
     )
 
 
+def phones_from_json(body: Column) -> Column:
+    """P16 generalized to the list contract (P17): ALL
+    ``phones[].phoneFormatted`` values, as an array (normalized + joined
+    with ', ' downstream — reference save path: app/scraper/autoria.py:
+    120-125 joins a phone LIST).  Exact 1-phone reference semantics are
+    preserved: the ``formattedPhoneNumber`` fallback applies only when the
+    phones list is absent/empty, and a present-but-null
+    ``phones[0].phoneFormatted`` yields NO phone (F4 drop), both per
+    app/scraper/parsers/car_page.py:266-271.
+    """
+    phones = F.from_json(
+        F.get_json_object(body, "$.phones"),
+        "array<struct<phoneFormatted:string>>")
+    arr = F.filter(
+        F.transform(phones, lambda p: p["phoneFormatted"]),
+        lambda x: x.isNotNull())
+    fallback = F.filter(
+        F.array(F.get_json_object(body, "$.formattedPhoneNumber")),
+        lambda x: x.isNotNull())
+    return (
+        F.when(phones.isNull() | (F.size(phones) == 0), fallback)
+        .when(phones[0]["phoneFormatted"].isNull(),
+              F.array().cast("array<string>"))
+        .otherwise(arr)
+    )
+
+
 def join_phones(phones: Column) -> Column:
     """P17 — ', '.join(phone_numbers). reference: app/scraper/autoria.py:120-125"""
     return F.array_join(phones, ", ")
@@ -180,3 +207,16 @@ def listing_links(payload: Column) -> Column:
     reference: app/scraper/parsers/search_page.py:52-78
     """
     return F.from_json(payload_field(payload, "links"), "array<string>")
+
+
+def listing_link_prices(payload: Column) -> Column:
+    """Optional per-link price metadata (same order as `links`) — feeds the
+    priority_price frontier column (north-star price-priority scheduling).
+    Null when the listing carries no metadata."""
+    return F.from_json(payload_field(payload, "link_prices"), "array<int>")
+
+
+def listing_link_fresh(payload: Column) -> Column:
+    """Optional per-link freshness epoch (same order as `links`) — feeds
+    priority_freshness.  Null when absent."""
+    return F.from_json(payload_field(payload, "link_fresh"), "array<long>")

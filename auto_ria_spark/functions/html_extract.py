@@ -1,0 +1,297 @@
+"""Real-HTML extraction stage (P1) — the reference's parser layer over live
+HTML, as an Arrow-batched ``mapInPandas`` stage.
+
+The reference parses pages with BeautifulSoup+lxml selector cascades
+(reference: app/scraper/base.py:38-59, parsers/car_page.py:56-223,
+parsers/search_page.py:52-78).  This module reproduces those cascades over
+a dependency-free mini-DOM built with the stdlib ``html.parser`` (lxml /
+selectolax are not installed in this sandbox; the DOM interface below is
+what an lxml swap would implement — one function, same output schema).
+
+Division of labor: this stage extracts each selector's RAW value into the
+structured payload keys (title_h1, price_text, seller_* …); the cascade
+ORDER, digit-stripping, 'тис. км' scaling, plate validity, phone
+normalization and defaults all remain JVM-side Spark SQL expressions
+(functions/extract.py) — identical downstream plan for HTML and
+structured worlds.
+
+Selector inventory implemented (reference: parsers/car_page.py):
+  title      h1.head | h3.auto-content_title                     (:56-59)
+  price      div.price_value > strong                            (:61-67)
+  odometer   div.base-information span.size18[.thin]             (:69-80)
+  username   8-way cascade a.sellerPro → … → h4.seller_info_name>a (:82-126)
+  image      div.photo-620x465 img.outline.m-auto[src], fallback
+             div.photo-620x465 img[src]                          (:153-165)
+  imgs count a.show-all text                                     (:167-177)
+  plate      span.state-num DIRECT text (ignore nested spans)    (:179-194)
+  VIN        span.label-vin | span.vin-code |
+             .vin-checked+.data-check .vin                       (:196-201)
+  deleted    div#autoDeletedTopBlock.notice.notice--icon.notice--orange
+             with the 'удалено и не принимает участия' text      (:203-223)
+  hash/exp   script[data-hash][data-expires], else any element
+             with both attributes                                (:238-252)
+  links      section.ticket-item a.m-link-ticket[href] DOM order
+             (reference: parsers/search_page.py:52-78)
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+_VOID = {"img", "br", "meta", "link", "input", "hr", "area", "base", "col",
+         "embed", "source", "track", "wbr"}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "classes", "children", "texts")
+
+    def __init__(self, tag: str, attrs: dict):
+        self.tag = tag
+        self.attrs = attrs
+        self.classes = set((attrs.get("class") or "").split())
+        self.children: list[Node] = []
+        self.texts: list[str] = []   # DIRECT text chunks, in order
+
+    # -- text ---------------------------------------------------------------
+    def text(self) -> str:
+        out = list(self.texts)
+        for c in self.children:
+            out.append(c.text())
+        return "".join(out)
+
+    def direct_text(self) -> str | None:
+        """First direct (non-recursive) text chunk — BeautifulSoup's
+        ``find(text=True, recursive=False)`` analogue."""
+        return self.texts[0] if self.texts else None
+
+    # -- traversal ----------------------------------------------------------
+    def walk(self) -> Iterator["Node"]:
+        """All descendants in document order (self excluded)."""
+        for c in self.children:
+            yield c
+            yield from c.walk()
+
+    def matches(self, tag: str | None, classes: set[str],
+                node_id: str | None = None) -> bool:
+        if tag is not None and self.tag != tag:
+            return False
+        if node_id is not None and self.attrs.get("id") != node_id:
+            return False
+        return classes <= self.classes
+
+    def select(self, tag: str | None, *classes: str,
+               node_id: str | None = None) -> Iterator["Node"]:
+        cs = set(classes)
+        for n in self.walk():
+            if n.matches(tag, cs, node_id):
+                yield n
+
+    def select_one(self, tag: str | None, *classes: str,
+                   node_id: str | None = None) -> "Node | None":
+        return next(self.select(tag, *classes, node_id=node_id), None)
+
+    def child_one(self, tag: str | None, *classes: str) -> "Node | None":
+        """Direct-child combinator ( > )."""
+        cs = set(classes)
+        for c in self.children:
+            if c.matches(tag, cs):
+                return c
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].texts.append(data)
+
+
+def parse_html(html: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(html)
+    return b.root
+
+
+def _txt(node: Node | None) -> str | None:
+    return node.text() if node is not None else None
+
+
+def _username_cascade(root: Node) -> dict:
+    """The 8-way seller cascade, one payload key per selector so the
+    JVM-side coalesce applies the reference's exact order
+    (reference: parsers/car_page.py:82-126)."""
+    out: dict = {}
+    out["seller_pro"] = _txt(root.select_one("a", "sellerPro"))
+    d = root.select_one("div", "seller_info_name")
+    out["seller_info_a"] = _txt(d.child_one("a")) if d else None
+    h4 = None
+    for un in root.select("div", "user-name"):
+        h4 = un.child_one("h4", "seller_info_name")
+        if h4 is not None:
+            break
+    if h4 is None:
+        for vs in root.select("div", "view-seller-info"):
+            h4 = vs.select_one(None, "seller_info_name")
+            if h4 is not None:
+                break
+    out["seller_user_h4"] = _txt(h4)
+    any_ = None
+    for si in root.select(None, "seller_info"):
+        any_ = si.select_one(None, "seller_info_name")
+        if any_ is not None:
+            break
+    out["seller_info_any"] = _txt(any_)
+    out["seller_grey_bold"] = _txt(
+        root.select_one("div", "seller_info_name", "grey", "bold"))
+    out["seller_bold"] = _txt(
+        root.select_one("div", "seller_info_name", "bold"))
+    h4a = root.select_one("h4", "seller_info_name")
+    out["seller_h4_a"] = _txt(h4a.child_one("a")) if h4a else None
+    return out
+
+
+def _vin_cascade(root: Node) -> dict:
+    out = {
+        "vin_label": _txt(root.select_one("span", "label-vin")),
+        "vin_code": _txt(root.select_one("span", "vin-code")),
+        "vin_checked": None,
+    }
+    # .vin-checked + .data-check .vin  (adjacent-sibling combinator)
+    def scan(parent: Node):
+        prev_checked = False
+        for c in parent.children:
+            if prev_checked and "data-check" in c.classes:
+                v = c.select_one(None, "vin")
+                if v is not None:
+                    return v
+            prev_checked = "vin-checked" in c.classes
+            got = scan(c)
+            if got is not None:
+                return got
+        return None
+
+    v = scan(root)
+    if v is not None:
+        out["vin_checked"] = v.text()
+    return out
+
+
+def car_payload(html: str) -> dict:
+    root = parse_html(html)
+    p: dict = {}
+    p["title_h1"] = _txt(root.select_one("h1", "head"))
+    p["title_h3"] = _txt(root.select_one("h3", "auto-content_title"))
+    pv = root.select_one("div", "price_value")
+    p["price_text"] = _txt(pv.child_one("strong")) if pv else None
+    odo = None
+    bi = root.select_one("div", "base-information")
+    if bi is not None:
+        # select_one("span.size18.thin, span.size18") = document-order
+        # first span with size18 (the .thin variant is a subset match)
+        odo = bi.select_one("span", "size18")
+    p["odometer_text"] = _txt(odo)
+    p.update(_username_cascade(root))
+    photo = root.select_one("div", "photo-620x465")
+    p["image_main"] = p["image_any"] = p["image_id"] = None
+    if photo is not None:
+        main = photo.select_one("img", "outline", "m-auto")
+        if main is not None and main.attrs.get("src"):
+            p["image_main"] = main.attrs["src"]
+            p["image_id"] = main.attrs.get("data-image-id")
+        anyimg = photo.select_one("img")
+        if anyimg is not None and anyimg.attrs.get("src"):
+            p["image_any"] = anyimg.attrs["src"]
+            if p["image_id"] is None:
+                p["image_id"] = anyimg.attrs.get("data-image-id")
+    p["show_all_text"] = _txt(root.select_one("a", "show-all"))
+    plate = root.select_one("span", "state-num")
+    p["plate_text"] = plate.direct_text() if plate is not None else None
+    p.update(_vin_cascade(root))
+    deleted = False
+    db = root.select_one("div", "notice", "notice--icon", "notice--orange",
+                         node_id="autoDeletedTopBlock")
+    if db is not None and "удалено и не принимает участия в поиске" in db.text():
+        deleted = True
+    p["deleted"] = deleted
+    h = e = None
+    for s in root.select("script"):
+        if "data-hash" in s.attrs and "data-expires" in s.attrs:
+            h, e = s.attrs["data-hash"], s.attrs["data-expires"]
+            break
+    if not h or not e:
+        for n in root.walk():
+            if "data-hash" in n.attrs and "data-expires" in n.attrs:
+                h, e = n.attrs["data-hash"], n.attrs["data-expires"]
+                break
+    p["data_hash"], p["data_expires"] = h, e
+    return p
+
+
+def listing_payload(html: str) -> dict:
+    """DOM-ordered car links (reference: parsers/search_page.py:52-78) plus
+    the graft's per-link snippet metadata (data-price / data-fresh)."""
+    root = parse_html(html)
+    links, prices, fresh = [], [], []
+    for item in root.select("section", "ticket-item"):
+        a = item.select_one("a", "m-link-ticket")
+        if a is not None and a.attrs.get("href"):
+            links.append(a.attrs["href"])
+            pr = a.attrs.get("data-price")
+            fr = a.attrs.get("data-fresh")
+            prices.append(int(pr) if pr else None)
+            fresh.append(int(fr) if fr else None)
+    payload = {"links": json.dumps(links)}
+    if any(v is not None for v in prices):
+        payload["link_prices"] = json.dumps(prices)
+        payload["link_fresh"] = json.dumps(fresh)
+    return payload
+
+
+def payloads_from_html(fetched, out_cols: list[str], out_schema: str):
+    """The P1 stage: replace each fetched row's HTML ``body`` with the
+    structured payload JSON (listing/car pages; phone XHR bodies are JSON
+    already and pass through).  Arrow-batched — one Python pass per batch,
+    never per-row UDFs."""
+
+    def stage(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bodies = []
+            for kind, body in zip(pdf["kind"], pdf["body"]):
+                if body is None or kind == "phone":
+                    bodies.append(body)
+                elif kind in ("listing", "sitemap"):
+                    bodies.append(json.dumps(
+                        listing_payload(body), ensure_ascii=False))
+                else:
+                    bodies.append(json.dumps(
+                        car_payload(body), ensure_ascii=False))
+            out = pdf[out_cols].copy()
+            out["body"] = bodies
+            yield out
+
+    return fetched.mapInPandas(stage, schema=out_schema)

@@ -111,15 +111,29 @@ class SnapshotTable:
 
             snap["rows"] = sum(
                 pq.ParquetFile(f).metadata.num_rows for f in files)
-        except Exception:  # pragma: no cover
-            snap["rows"] = None
+        except Exception:  # pragma: no cover - footer read is the fast path
+            # never None: callers use snap["rows"] for loop termination
+            # (frontier_left) — fall back to a real count of what was written
+            try:
+                snap["rows"] = (
+                    df.sparkSession.read.parquet(*files).count() if files
+                    else 0)
+            except Exception:
+                snap["rows"] = 0
         return snap
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             schema: str | None = None) -> DataFrame | None:
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()
         if snap is None or not snap["files"]:
             return None
-        return spark.read.parquet(*snap["files"])
+        reader = spark.read
+        if schema is not None:
+            # known fixed schema: skip parquet footer schema inference
+            # (a per-read driver job — measurable at one read per table
+            # per wave)
+            reader = reader.schema(schema)
+        return reader.parquet(*snap["files"])
 
     def read_at_tag(self, spark: SparkSession, key: str, value) -> DataFrame | None:
         """Time travel: read the latest snapshot whose tag[key] == value."""
@@ -138,6 +152,27 @@ class SnapshotTable:
                 os.replace(tmp, self._current_path())
                 return True
         return False
+
+    def export_dump(self, spark: SparkSession, dest_dir: str,
+                    ts: int) -> str | None:
+        """Portable dump export — the pg_dump analogue (reference:
+        app/utils/db_dumper.py:38-102): write the CURRENT snapshot as a
+        self-contained, timestamped parquet directory plus a manifest, so
+        the dump survives snapshot expiry and moves between warehouses.
+        ``ts`` is caller-supplied epoch seconds (no wall clock — test
+        determinism).  Returns the dump path, or None if the table is
+        empty/unwritten."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        name = f"{self.name}_dump_{ts}"
+        path = os.path.join(dest_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+            json.dump({"table": self.name, "exported_at": ts,
+                       "source_snapshot": (self.current() or {}).get("id")},
+                      f)
+        return path
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop old snapshots and any data files no retained snapshot uses."""
@@ -165,6 +200,27 @@ class Warehouse:
 
     def table(self, name: str) -> SnapshotTable:
         return SnapshotTable(self.root, name)
+
+
+def cleanup_old_dumps(dest_dir: str, now_ts: int,
+                      keep_seconds: int = 30 * 86400) -> int:
+    """Dump retention — delete exported dumps older than the horizon
+    (reference: app/utils/db_dumper.py:105-148, 30-day default).  Dump age
+    comes from the trailing ``_<epoch>`` in the directory name, not file
+    mtimes (deterministic under test).  Returns dumps removed."""
+    import shutil
+
+    removed = 0
+    if not os.path.isdir(dest_dir):
+        return 0
+    for fn in os.listdir(dest_dir):
+        base, _, ts = fn.rpartition("_")
+        if not base or "_dump" not in base or not ts.isdigit():
+            continue
+        if now_ts - int(ts) > keep_seconds:
+            shutil.rmtree(os.path.join(dest_dir, fn), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def iceberg_ddl() -> dict[str, str]:

@@ -10,6 +10,8 @@ Edge cases injected at fixed modular positions (FIXTURES.md §2):
   dup links across adjacent pages (i % 11 == 4 on pages > 0)
   deleted listings              (i % 41 == 3)
   missing phone                 (i % 29 == 7)
+  extra phone #2 (P17 join)     (i % 23 == 13)
+  extra phone #3 (P17 join)     (i % 59 == 37)
   VIN collision with car i-1    (i % 53 == 9)
   odometer plain-km variant     (i % 3 == 1), no odometer (i % 17 == 5)
   phone format junk             (i % 19 == 11)
@@ -155,6 +157,14 @@ def car_fields(host_idx: int, cars_per_host: int, i: int) -> dict:
         "call me",  # junk -> '+' + digits-only
     ]
     phone_raw = phone_variants[2] if g % 19 == 11 else phone_variants[g % 2]
+    # multi-phone listings (P17): the reference's save path joins a phone
+    # LIST with ', ' (reference: app/scraper/autoria.py:120-125)
+    phone_raws = [phone_raw]
+    if g % 23 == 13:
+        phone_raws.append(f"380{600000000 + g % 300000000}")
+    if g % 59 == 37:
+        phone_raws.append(
+            f"(067) {200 + g % 700}-{20 + g % 70}-{15 + (g * 7) % 80}")
 
     return {
         "g": g,
@@ -162,6 +172,8 @@ def car_fields(host_idx: int, cars_per_host: int, i: int) -> dict:
         "car_id": car_id,
         "title": f"{make} {model} {year}",
         "price": price,
+        # listing-snippet freshness epoch (drives priority_freshness)
+        "freshness": 1_700_000_000 - (g * 7919) % 1_000_000,
         "price_text": f"{price:,} $".replace(",", " "),
         "odometer_text": odometer_text,
         "odometer": (
@@ -179,14 +191,113 @@ def car_fields(host_idx: int, cars_per_host: int, i: int) -> dict:
         "deleted": g % 41 == 3,
         "has_phone": g % 29 != 7,
         "phone_raw": phone_raw,
+        "phone_raws": phone_raws,
         "phone_429": g % 31 == 8,
         "data_hash": f"h{g:x}",
         "data_expires": str(1_700_000_000 + g),
     }
 
 
-def car_page_row(host_idx: int, cars_per_host: int, i: int) -> dict:
+def _seller_html(key: str, name: str) -> str:
+    """Render the seller into the DOM shape its cascade selector matches
+    (reference: parsers/car_page.py:82-126) — one shape per cascade arm."""
+    import html as H
+    n = H.escape(name)
+    return {
+        "seller_pro": f'<a class="sellerPro">{n}</a>',
+        "seller_info_a": f'<div class="seller_info_name"><a>{n}</a></div>',
+        "seller_user_h4": (f'<div class="user-name">'
+                           f'<h4 class="seller_info_name">{n}</h4></div>'),
+        "seller_info_any": (f'<div class="seller_info">'
+                            f'<div class="seller_info_name">{n}</div></div>'),
+        "seller_grey_bold": (f'<div class="seller_info_name grey bold">{n}'
+                             f'</div>'),
+        "seller_bold": f'<div class="seller_info_name bold">{n}</div>',
+        "seller_h4_a": (f'<h4 class="seller_info_name"><a>{n}</a></h4>'),
+    }[key]
+
+
+def car_page_html(cf: dict) -> str:
+    """Render a car page as real HTML using the reference's exact selector
+    shapes (reference: parsers/car_page.py:56-223) — drives the P1
+    lxml-style extraction stage.  Same facts as the JSON payload, so the
+    pure-Python oracle over the structured world stays the golden truth."""
+    import html as H
+    g = cf["g"]
+    parts = ["<html><body>"]
+    if cf["deleted"]:
+        parts.append(
+            '<div id="autoDeletedTopBlock" class="notice notice--icon'
+            ' notice--orange">Объявление удалено и не принимает участия'
+            " в поиске</div>")
+    if g % 2 == 0:
+        parts.append(f'<h1 class="head">{H.escape(cf["title"])}</h1>')
+    else:
+        parts.append(
+            f'<h3 class="auto-content_title">{H.escape(cf["title"])}</h3>')
+    parts.append(f'<div class="price_value"><strong>{cf["price_text"]}'
+                 "</strong></div>")
+    if cf["odometer_text"] is not None:
+        klass = "size18 thin" if g % 2 == 0 else "size18"
+        parts.append(f'<div class="base-information"><span class="{klass}">'
+                     f'{cf["odometer_text"]}</span></div>')
+    parts.append(_seller_html(cf["seller_key"], cf["seller"]))
+    # main photo; g % 5 == 2 drops the outline/m-auto classes to exercise
+    # the any-img fallback (car_page.py:153-165)
+    img_cls = 'class="plain"' if g % 5 == 2 else 'class="outline m-auto"'
+    parts.append(
+        f'<div class="photo-620x465"><img {img_cls} src="{cf["image_url"]}"'
+        f' data-image-id="{cf["image_id"]}"></div>')
+    if cf["images_count_text"] is not None:
+        parts.append(f'<a class="show-all">{cf["images_count_text"]}</a>')
+    if cf["plate_text"] is not None:
+        # nested popup span exercises the DIRECT-text rule (:179-194)
+        parts.append(f'<span class="state-num">{H.escape(cf["plate_text"])}'
+                     '<span class="popup">подробнее</span></span>')
+    # VIN cascade variants (:196-201)
+    if g % 3 == 0:
+        parts.append(f'<span class="label-vin">{cf["vin"]}</span>')
+    elif g % 3 == 1:
+        parts.append(f'<span class="vin-code">{cf["vin"]}</span>')
+    else:
+        parts.append(
+            '<span class="vin-checked">✓</span><span class="data-check">'
+            f'<span class="vin">{cf["vin"]}</span></span>')
+    if cf["has_phone"]:
+        if g % 7 == 1:
+            parts.append(f'<div data-hash="{cf["data_hash"]}"'
+                         f' data-expires="{cf["data_expires"]}"></div>')
+        else:
+            parts.append(f'<script data-hash="{cf["data_hash"]}"'
+                         f' data-expires="{cf["data_expires"]}"></script>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def listing_page_html(cfs: list[dict]) -> str:
+    """Listing page HTML: section.ticket-item > a.m-link-ticket[href] in
+    DOM order (reference: parsers/search_page.py:52-78), with the graft's
+    snippet metadata as data attributes."""
+    items = "".join(
+        f'<section class="ticket-item"><a class="m-link-ticket"'
+        f' href="{c["url"]}" data-price="{c["price"]}"'
+        f' data-fresh="{c["freshness"]}">item</a></section>'
+        for c in cfs)
+    return f"<html><body>{items}</body></html>"
+
+
+def car_page_row(host_idx: int, cars_per_host: int, i: int,
+                 fmt: str = "json") -> dict:
     cf = car_fields(host_idx, cars_per_host, i)
+    if fmt == "html":
+        return {
+            "url_norm": cf["url"],
+            "kind": "car",
+            "host": host_name(host_idx),
+            "payload": car_page_html(cf),
+            "fail_503_times": 0,
+            "retry_after": None,
+        }
     payload = {
         "price_text": cf["price_text"],
         "odometer_text": cf["odometer_text"],
@@ -224,40 +335,61 @@ def phone_page_row(host_idx: int, cars_per_host: int, i: int) -> dict | None:
         "url_norm": url,
         "kind": "phone",
         "host": host_name(host_idx),
-        "payload": json.dumps({"phones": [{"phoneFormatted": cf["phone_raw"]}]}),
+        "payload": json.dumps(
+            {"phones": [{"phoneFormatted": p} for p in cf["phone_raws"]]}),
         "fail_503_times": 1 if cf["phone_429"] else 0,
         "retry_after": 3 if cf["phone_429"] else None,
     }
 
 
-def listing_links_for_page(
+def listing_slots_for_page(
     host_idx: int, cars_per_host: int, page: int, page_size: int = PAGE_SIZE
-) -> list[str]:
-    """DOM-ordered links on listing page *page*; duplicates from the previous
-    page injected at fixed positions (first-occurrence dedup exercise,
-    reference: app/scraper/autoria.py:266-271)."""
+) -> list[int]:
+    """DOM-ordered car indices on listing page *page*; duplicates from the
+    previous page injected at fixed positions (first-occurrence dedup
+    exercise, reference: app/scraper/autoria.py:266-271)."""
     start = page * page_size
-    links = []
+    slots = []
     for j in range(page_size):
         i = start + j
         if i >= cars_per_host:
             break
         if page > 0 and i % 11 == 4:
-            links.append(car_fields(host_idx, cars_per_host, start - page_size + j)["url"])
+            slots.append(start - page_size + j)
         else:
-            links.append(car_fields(host_idx, cars_per_host, i)["url"])
-    return links
+            slots.append(i)
+    return slots
+
+
+def listing_links_for_page(
+    host_idx: int, cars_per_host: int, page: int, page_size: int = PAGE_SIZE
+) -> list[str]:
+    return [car_fields(host_idx, cars_per_host, i)["url"]
+            for i in listing_slots_for_page(host_idx, cars_per_host, page,
+                                            page_size)]
 
 
 def listing_page_row(
-    host_idx: int, cars_per_host: int, page: int, page_size: int = PAGE_SIZE
+    host_idx: int, cars_per_host: int, page: int, page_size: int = PAGE_SIZE,
+    fmt: str = "json"
 ) -> dict:
-    links = listing_links_for_page(host_idx, cars_per_host, page, page_size)
+    slots = listing_slots_for_page(host_idx, cars_per_host, page, page_size)
+    cfs = [car_fields(host_idx, cars_per_host, i) for i in slots]
+    if fmt == "html":
+        payload = listing_page_html(cfs)
+    else:
+        # link_prices / link_fresh: per-link snippet metadata in DOM order —
+        # feeds priority_price / priority_freshness (config.order_mode)
+        payload = json.dumps({
+            "links": json.dumps([c["url"] for c in cfs]),
+            "link_prices": json.dumps([c["price"] for c in cfs]),
+            "link_fresh": json.dumps([c["freshness"] for c in cfs]),
+        })
     return {
         "url_norm": listing_url(host_idx, page),
         "kind": "listing",
         "host": host_name(host_idx),
-        "payload": json.dumps({"links": json.dumps(links)}),
+        "payload": payload,
         "fail_503_times": 1 if (page % 23 == 6) else 0,
         "retry_after": None,
     }
@@ -270,16 +402,23 @@ PAGES_SCHEMA = (
 
 
 def build_world_local(
-    n_hosts: int = 1, cars_per_host: int = 300, page_size: int = PAGE_SIZE
+    n_hosts: int = 1, cars_per_host: int = 300, page_size: int = PAGE_SIZE,
+    fmt: str = "json"
 ) -> list[dict]:
-    """All page rows as plain dicts (oracle + unit-test tier)."""
+    """All page rows as plain dicts (oracle + unit-test tier).
+
+    ``fmt="html"`` renders listing/car payloads as real HTML (same facts,
+    reference selector shapes) for the P1 extraction stage; phone XHR
+    bodies stay JSON in both formats (they are JSON on the real site too).
+    """
     rows: list[dict] = []
     for hx in range(n_hosts):
         n_pages = (cars_per_host + page_size - 1) // page_size
         for p in range(n_pages + 1):  # +1: empty final page terminates F6
-            rows.append(listing_page_row(hx, cars_per_host, p, page_size))
+            rows.append(listing_page_row(hx, cars_per_host, p, page_size,
+                                         fmt))
         for i in range(cars_per_host):
-            rows.append(car_page_row(hx, cars_per_host, i))
+            rows.append(car_page_row(hx, cars_per_host, i, fmt))
             pr = phone_page_row(hx, cars_per_host, i)
             if pr:
                 rows.append(pr)
@@ -287,7 +426,7 @@ def build_world_local(
 
 
 def pages_df(spark, n_hosts: int, cars_per_host: int, page_size: int = PAGE_SIZE,
-             partitions: int = 32):
+             partitions: int = 32, fmt: str = "json"):
     """Distributed page-store generation for the bench tier."""
     import pandas as pd
 
@@ -302,12 +441,13 @@ def pages_df(spark, n_hosts: int, cars_per_host: int, page_size: int = PAGE_SIZE
                 t = int(t)
                 hx, r = divmod(t, per_host)
                 if r < n_pages:
-                    rows.append(listing_page_row(hx, cars_per_host, r, page_size))
+                    rows.append(listing_page_row(hx, cars_per_host, r,
+                                                 page_size, fmt))
                 else:
                     r -= n_pages
                     i, which = divmod(r, 2)
                     if which == 0:
-                        rows.append(car_page_row(hx, cars_per_host, i))
+                        rows.append(car_page_row(hx, cars_per_host, i, fmt))
                     else:
                         pr = phone_page_row(hx, cars_per_host, i)
                         if pr:
@@ -317,6 +457,24 @@ def pages_df(spark, n_hosts: int, cars_per_host: int, page_size: int = PAGE_SIZE
             ]).astype({"fail_503_times": "int32"})
 
     return spark.range(0, total, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_local_df(spark, world_rows: list[dict]):
+    """Local page store via pandas+Arrow (a JVM LocalRelation).
+
+    A plain ``createDataFrame(list_of_dicts)`` builds a pickled-RDD local
+    relation instead — dragging Python workers into EVERY downstream job
+    that scans the world (three fetch joins per wave), which dominates
+    small-world crawl wall-clock.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(world_rows, columns=[
+        "url_norm", "kind", "host", "payload", "fail_503_times",
+        "retry_after"])
+    pdf["fail_503_times"] = pdf["fail_503_times"].astype("int32")
+    pdf["retry_after"] = pdf["retry_after"].astype("Int32")
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
 
 
 def seed_rows(n_hosts: int = 1) -> list[dict]:

@@ -117,3 +117,37 @@ def test_phone_from_json(spark):
             ('{}',)]
     got = _vals(spark, X.phone_from_json(F.col("v")), rows)
     assert got == ["(050) 1", "(067) 2", None]
+
+
+def test_phones_from_json_list_semantics(spark):
+    """P17: all phones[].phoneFormatted; fallback only when the list is
+    absent/empty; null phones[0] -> NO phone (reference
+    car_page.py:266-271 + autoria.py:120-125 list-join contract)."""
+    rows = [
+        ('{"phones":[{"phoneFormatted":"(050) 1"},'
+         '{"phoneFormatted":"380671"}]}',),
+        ('{"phones":[{"phoneFormatted":"(050) 1"}]}',),
+        ('{"phones":[],"formattedPhoneNumber":"(067) 2"}',),
+        ('{"formattedPhoneNumber":"(067) 2"}',),
+        ('{"phones":[{"phoneFormatted":null},'
+         '{"phoneFormatted":"380671"}]}',),
+        ('{}',),
+    ]
+    got = _vals(spark, X.phones_from_json(F.col("v")), rows)
+    assert got == [["(050) 1", "380671"], ["(050) 1"], ["(067) 2"],
+                   ["(067) 2"], [], []]
+
+
+def test_multi_phone_join_in_worldgen_goldens():
+    """The deterministic worlds must actually contain multi-phone cars so
+    the golden crawl exercises the ', '.join path end-to-end."""
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.oracle import crawl_oracle
+    from auto_ria_spark.sources import worldgen
+
+    world = worldgen.build_world_local(1, 300, 100)
+    res = crawl_oracle(world, worldgen.seed_rows(1), CrawlConfig())
+    multi = [c for c in res.cars if ", " in c["phone_number"]]
+    assert len(multi) >= 5
+    assert all(p.startswith("+") for c in multi
+               for p in c["phone_number"].split(", "))
