@@ -63,6 +63,23 @@ class CrawlConfig:
     # robots gating on by default (engine addition per north_rule, C5)
     respect_robots: bool = True
 
+    # page body format: "json" (structured payloads, the fast path) or
+    # "html" (real pages -> P1 extraction stage: an Arrow-batched
+    # mapInPandas running the reference's selector cascades,
+    # functions/html_extract.py).  Downstream plans are identical.
+    payload_format: str = "json"
+
+    # car-fetch scheduling policy (north-star "price/freshness priority"
+    # generalization).  "crawl" reproduces the reference's strict
+    # discovery order (the default — golden oracle equivalence);
+    # "price" fetches cheapest-first, "freshness" newest-first, both
+    # falling back to discovery order for ties/null priorities.  Priority
+    # values ride the frontier (priority_price / priority_freshness,
+    # populated from listing link metadata when present).  Scheduling
+    # policy only DELAYS rows — the discovered set, discovery ranks and
+    # final saved rows are identical in every mode.
+    order_mode: str = "crawl"
+
     extra: dict = field(default_factory=dict)
 
     def wave_ts(self, wave: int) -> int:

@@ -30,8 +30,41 @@ allowed) filters URLs before they are fetched or admitted to `seen`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# expression cache: the crawl engine calls top_b_per_host three times per
+# wave with the same (budget, order, salt_n) — rebuilding the window
+# expressions is pure py4j round-trip cost (the measured per-wave driver
+# overhead).  Keyed by session id so a restarted session never reuses
+# stale JVM references.
+_EXPR_CACHE: dict = {}
+
+
+def _order_expr(spec):
+    """str -> ascending column; (name, direction) -> directed column, e.g.
+    ("priority_price", "asc_nulls_last") — the priority-mode hook."""
+    if isinstance(spec, str):
+        return F.col(spec)
+    name, direction = spec
+    return getattr(F.col(name), direction)()
+
+
+def _top_b_exprs(budget: int, order_cols: tuple, salt_n: int):
+    spark = SparkSession.getActiveSession()
+    key = (id(spark), budget, order_cols, salt_n)
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    order = [_order_expr(c) for c in order_cols]
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_n))
+    r1 = F.row_number().over(
+        Window.partitionBy("host", "__salt").orderBy(*order))
+    r1_ok = F.col("__r1") <= budget
+    r2 = F.row_number().over(Window.partitionBy("host").orderBy(*order))
+    r2_ok = F.col("__r2") <= budget
+    _EXPR_CACHE[key] = (salt, r1, r1_ok, r2, r2_ok)
+    return _EXPR_CACHE[key]
 
 
 def top_b_per_host(
@@ -48,22 +81,21 @@ def top_b_per_host(
     total order within a host (we use the crawl-order key) so the selection
     is reproducible run-over-run.
     """
-    order = [F.col(c) for c in order_cols]
     if budget <= 0:
         return df.limit(0)
+    salt, r1, r1_ok, r2, r2_ok = _top_b_exprs(
+        budget, tuple(order_cols), salt_n)
     # phase 1: salted pre-top-B (bounded window partitions)
-    salted = df.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
-    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
     pre = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= budget)
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", r1)
+        .filter(r1_ok)
         .drop("__r1", "__salt")
     )
     # phase 2: exact per-host top-B over <= salt_n * budget survivors
-    w2 = Window.partitionBy("host").orderBy(*order)
     return (
-        pre.withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= budget)
+        pre.withColumn("__r2", r2)
+        .filter(r2_ok)
         .drop("__r2")
     )
 

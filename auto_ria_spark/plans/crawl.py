@@ -65,11 +65,13 @@ from auto_ria_spark.util import empty_df, local_df
 
 FRONTIER_COLS = ["url_norm", "url_hash", "host", "kind", "kind_rank",
                  "page_index", "pos_on_page", "attempt", "not_before",
-                 "discovery_rank", "discovered_wave"]
+                 "discovery_rank", "discovered_wave",
+                 "priority_price", "priority_freshness"]
 FRONTIER_SCHEMA = (
     "url_norm string, url_hash long, host string, kind string, kind_rank int,"
     " page_index int, pos_on_page int, attempt int, not_before long,"
-    " discovery_rank long, discovered_wave int"
+    " discovery_rank long, discovered_wave int,"
+    " priority_price int, priority_freshness long"
 )
 SEEN_SCHEMA = (
     "url_hash long, url_norm string, host string, kind string,"
@@ -91,6 +93,9 @@ METRICS_SCHEMA = (
     "wave int, partition_id int, kind string, metric string, value long"
 )
 HOSTSTATE_SCHEMA = "host string, cars_discovered long, pagination_done boolean"
+# F2 incremental saved-set: hashes of every url in `cars`, appended per wave
+# (never a per-wave rescan of the cars table); rebuilt from `cars` on resume
+SAVED_HASHES_SCHEMA = "url_hash long"
 CAR_IMAGES_SCHEMA = (
     "image_id string, url string, w int, h int, decoded_w int, decoded_h int,"
     " phash long, decoded_phash long, image_ok boolean, caption string,"
@@ -99,6 +104,25 @@ CAR_IMAGES_SCHEMA = (
 
 TABLES = ("frontier", "seen_urls", "seen_filters", "pending_cars", "cars",
           "car_images", "metrics", "host_state")
+
+
+def _dedup_by_vin(cars: DataFrame) -> DataFrame:
+    """Per-VIN dedup (lowest discovery rank wins), null VINs exempt.
+
+    Null-VIN rows are routed AROUND the window, not through it: a
+    ``Window.partitionBy(car_vin)`` would hash every null-VIN row into one
+    shuffle partition — at 10^8 saved cars with a large null-VIN share that
+    is a single straggler task.  Splitting before the shuffle keeps the
+    window's partitioning uniform; the union is schema-identical.
+    """
+    with_vin = cars.filter(F.col("car_vin").isNotNull())
+    no_vin = cars.filter(F.col("car_vin").isNull())
+    w_vin = Window.partitionBy("car_vin").orderBy("discovery_rank", "url")
+    kept = (
+        with_vin.withColumn("__rn", F.row_number().over(w_vin))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    return kept.unionByName(no_vin)
 
 
 @dataclass
@@ -133,11 +157,14 @@ class CrawlEngine:
         # the image+caption corpus (input_hint): stage V validates each
         # saved car's photo bytes against it (decode + phash + dims)
         self.corpus = corpus
-        self.t = {name: self.wh.table(name) for name in TABLES}
+        # saved_hashes is DERIVED state (from cars) — excluded from the
+        # checkpoint-consistency cut (TABLES) and rebuilt on resume instead
+        self.t = {name: self.wh.table(name)
+                  for name in (*TABLES, "saved_hashes")}
 
     # ------------------------------------------------------------------ state
     def _read(self, name: str, schema: str) -> DataFrame:
-        df = self.t[name].read(self.spark)
+        df = self.t[name].read(self.spark, schema=schema)
         if df is None:
             return empty_df(self.spark, schema)
         return df
@@ -161,6 +188,14 @@ class CrawlEngine:
         w = self.last_complete_wave()
         for name in TABLES:
             self.t[name].rollback_to_tag("wave", w)
+        # rebuild the derived F2 saved-set from the rolled-back cars table
+        # (one job per resume — waves then append incrementally, never
+        # rescanning cars)
+        cars = self._read("cars", CARS_SCHEMA)
+        self.t["saved_hashes"].write(
+            cars.select(U.url_hash64(F.col("url")).alias("url_hash"))
+            .distinct(),
+            mode="overwrite", tag={"wave": w}, num_files=1)
         return w + 1
 
     # ------------------------------------------------------------------ seed
@@ -189,6 +224,8 @@ class CrawlEngine:
             .withColumn("not_before", F.lit(0).cast("long"))
             .withColumn("discovery_rank", F.lit(None).cast("long"))
             .withColumn("discovered_wave", F.lit(-1))
+            .withColumn("priority_price", F.lit(None).cast("int"))
+            .withColumn("priority_freshness", F.lit(None).cast("long"))
             .select(*FRONTIER_COLS)
         )
         fr = robots_gate(fr, self.robots)
@@ -205,7 +242,8 @@ class CrawlEngine:
                              ("cars", CARS_SCHEMA),
                              ("car_images", CAR_IMAGES_SCHEMA),
                              ("metrics", METRICS_SCHEMA),
-                             ("host_state", HOSTSTATE_SCHEMA)):
+                             ("host_state", HOSTSTATE_SCHEMA),
+                             ("saved_hashes", SAVED_HASHES_SCHEMA)):
             self.t[name].write(empty_df(self.spark, schema),
                                mode="overwrite", tag=tag, num_files=1)
 
@@ -234,6 +272,8 @@ class CrawlEngine:
                     Window.partitionBy("host").orderBy("url_norm"))
                 .cast("long"))
             .withColumn("discovered_wave", F.lit(-1))
+            .withColumn("priority_price", F.lit(None).cast("int"))
+            .withColumn("priority_freshness", F.lit(None).cast("long"))
             .select(*FRONTIER_COLS)
         )
         fr = robots_gate(fr, self.robots)
@@ -254,112 +294,152 @@ class CrawlEngine:
         for name, schema in (("pending_cars", PENDING_SCHEMA),
                              ("cars", CARS_SCHEMA),
                              ("car_images", CAR_IMAGES_SCHEMA),
-                             ("metrics", METRICS_SCHEMA)):
+                             ("metrics", METRICS_SCHEMA),
+                             ("saved_hashes", SAVED_HASHES_SCHEMA)):
             self.t[name].write(empty_df(self.spark, schema),
                                mode="overwrite", tag=tag, num_files=1)
 
     # ------------------------------------------------------------------ wave
     def run_wave(self, wave: int) -> WaveStats:
+        """One BFS wave.  Job discipline (the 0.8-scaling-efficiency lever):
+        stage results are LAZILY checkpointed (``localCheckpoint(eager=
+        False)`` — truncates lineage so each downstream action re-analyzes
+        a stub, not the whole wave tree, but costs NO dedicated
+        materialization job), ONE combined aggregation action materializes
+        every stage and yields all wave counters, then the table commits —
+        metrics included — fan out over driver threads against warm
+        caches.  Per wave: 1 stats job + the table writes, down from ~16
+        sequential jobs.  (On a real cluster the per-stage materialization
+        primitive is the Iceberg table commit itself; the local checkpoint
+        is the sandbox stand-in and is re-derivable from the committed
+        snapshots on executor loss.)
+
+        Each checkpointed stage is also *warmed asynchronously*: a
+        single-worker thread counts it as soon as it is defined, so JVM
+        analysis/execution of stage N overlaps the driver's py4j plan
+        construction of stage N+1 (driver planning is the measured
+        fixed cost per wave — without overlap the executors sit idle
+        through it)."""
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
         cfg, spark = self.cfg, self.spark
         ts = cfg.wave_ts(wave)
         st = WaveStats(wave=wave)
         _t = {"start": _time.time()}
+        warm_ex = ThreadPoolExecutor(max_workers=1)
+
+        def _warm(df):
+            def go():
+                try:
+                    df.count()
+                except Exception:
+                    pass  # the real consuming action surfaces any error
+            warm_ex.submit(go)
+            return df
+
+        self._warm = _warm
 
         def _mark(name):
             now = _time.time()
             _t[name] = round(now - _t.pop("_last", _t["start"]), 3)
             _t["_last"] = now
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        stats_ex = ThreadPoolExecutor(max_workers=3)
         frontier = self._read("frontier", FRONTIER_SCHEMA)
         seen = self._read("seen_urls", SEEN_SCHEMA)
-        filters = self.t["seen_filters"].read(spark)
+        filters = self.t["seen_filters"].read(spark,
+                                              schema=bloom.FILTER_SCHEMA)
         pending = self._read("pending_cars", PENDING_SCHEMA)
-        cars = self._read("cars", CARS_SCHEMA)
+        saved_hashes = self._read("saved_hashes", SAVED_HASHES_SCHEMA)
         host_state = self._read("host_state", HOSTSTATE_SCHEMA)
 
         _mark("read_state")
+        E = self._exprs()
+
+        def _fetch(sel):
+            f = fetched_frontier(sel, None, page_side=E["page_side"],
+                                 cand_cols=FRONTIER_COLS,
+                                 cand_schema=E["fetch_schema"])
+            if cfg.payload_format == "html":
+                # P1: real-HTML pages -> structured payload via the
+                # selector-cascade mapInPandas stage; every downstream
+                # expression is unchanged
+                from auto_ria_spark.functions import html_extract
+                f = html_extract.payloads_from_html(
+                    f, E["fetched_cols"], E["fetched_schema_full"])
+            return self._warm(
+                f.withColumn("__pid", E["pid"])
+                .localCheckpoint(eager=False))
+
         eligible = frontier.filter(F.col("not_before") <= F.lit(ts))
 
         # -- stage L: listing fetch + discovery -------------------------------
         listing_sel = top_b_per_host(
-            eligible.filter(F.col("kind").isin("listing", "sitemap")),
+            eligible.filter(E["kind_lst"]),
             cfg.listing_budget, ["kind_rank", "page_index", "url_norm"])
-        lf = fetched_frontier(listing_sel, self.pages) \
-            .withColumn("__pid", F.spark_partition_id()) \
-            .localCheckpoint(eager=True)
-        _mark("stage_L_fetch")
+        lf = _fetch(listing_sel)
         (new_links, next_pages, seen_only, host_state_next,
          flagged) = self._discover(
-            lf.filter(F.col("status_code") == 200), seen, filters, cars,
-            host_state, wave)
-        # discovery counters run concurrently with stages C/P (flagged is
-        # checkpointed — the agg is an independent tiny job)
-        crow_fut = stats_ex.submit(
-            lambda: flagged.groupBy().agg(
-                F.count("*").alias("disc"),
-                F.sum(F.col("__in_db").cast("int")).alias("skip"),
-                F.sum(F.col("__over").cast("int")).alias("over")).first())
+            lf.filter(E["status_ok"]), seen, filters,
+            saved_hashes, host_state, wave)
+        _mark("plan_L")
 
-        _mark("discover")
         # -- stage C: car fetch + field extraction ----------------------------
-        car_cand = eligible.filter(F.col("kind") == "car") \
-            .unionByName(new_links)
-        car_sel = top_b_per_host(car_cand, cfg.host_budget, ["discovery_rank"])
-        cf = fetched_frontier(car_sel, self.pages) \
-            .withColumn("__pid", F.spark_partition_id()) \
-            .localCheckpoint(eager=True)
-        _mark("stage_C_fetch")
+        car_cand = eligible.filter(E["kind_car"]).unionByName(new_links)
+        # scheduling policy (order_mode): priority keys reorder WHICH cars a
+        # bounded budget fetches first; discovery_rank tie-breaks so the
+        # selection stays a deterministic total order (and the default mode
+        # is exactly the reference's crawl order)
+        if cfg.order_mode == "price":
+            car_order = [("priority_price", "asc_nulls_last"),
+                         "discovery_rank"]
+        elif cfg.order_mode == "freshness":
+            car_order = [("priority_freshness", "desc_nulls_last"),
+                         "discovery_rank"]
+        else:
+            car_order = ["discovery_rank"]
+        car_sel = top_b_per_host(car_cand, cfg.host_budget, car_order)
+        cf = _fetch(car_sel)
         new_pending, phone_rows, parsed = \
-            self._parse_cars(cf.filter(F.col("status_code") == 200), wave)
-        prow_fut = stats_ex.submit(
-            lambda: parsed.groupBy().agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("is_deleted").cast("int")).alias("deleted"),
-                F.sum(((~F.col("is_deleted")) & F.col("phone_url").isNull())
-                      .cast("int")).alias("nophone")).first())
-        _mark("parse_cars")
+            self._parse_cars(cf.filter(E["status_ok"]), wave)
+        _mark("plan_C")
 
         # -- stage P: phone fetch + assembly + save ---------------------------
-        ph_cand = eligible.filter(F.col("kind") == "phone") \
-            .unionByName(phone_rows)
+        ph_cand = eligible.filter(E["kind_phone"]).unionByName(phone_rows)
         ph_sel = top_b_per_host(ph_cand, cfg.phone_budget, ["discovery_rank"])
-        pf = fetched_frontier(ph_sel, self.pages) \
-            .withColumn("__pid", F.spark_partition_id()) \
-            .localCheckpoint(eager=True)
-        _mark("stage_P_fetch")
+        pf = _fetch(ph_sel)
         pending_all = pending.unionByName(new_pending)
         saved_rows, resolved_hashes = self._resolve_phones(
-            pf.filter(F.col("status_code") == 200), pending_all)
+            pf.filter(E["status_ok"]), pending_all)
+        saved_rows = self._warm(saved_rows.localCheckpoint(eager=False))
+        _mark("plan_P")
 
         # -- retries / errors ---------------------------------------------------
         fetched = lf.unionByName(cf).unionByName(pf)
-        retryable = fetched.filter(F.col("status_code").isin(429, 503))
-        failed = fetched.filter(F.col("status_code") == 404)
-        backoff = F.coalesce(
-            F.col("retry_after_s").cast("long"),
-            (F.lit(cfg.backoff_base_s) * (F.col("attempt") + 1)).cast("long"),
-        )
+        retryable = fetched.filter(E["retryable"])
+        failed = fetched.filter(E["s404"])
         requeue = (
-            retryable.filter(F.col("attempt") + 1 < F.lit(cfg.max_attempts))
-            .select(
-                "url_norm", "url_hash", "host", "kind", "kind_rank",
-                "page_index", "pos_on_page",
-                (F.col("attempt") + 1).alias("attempt"),
-                (F.lit(ts) + backoff).alias("not_before"),
-                "discovery_rank", "discovered_wave")
+            retryable.filter(E["can_retry"])
+            .select(*E["requeue_pre"],
+                    (F.lit(ts) + E["backoff"]).alias("not_before"),
+                    "discovery_rank", "discovered_wave",
+                    "priority_price", "priority_freshness")
         )
-        exhausted = retryable.filter(
-            F.col("attempt") + 1 >= F.lit(cfg.max_attempts))
+        exhausted = retryable.filter(~E["can_retry"])
         # pending rows whose phone fetch died entirely — F4 no-phone drop
         dead_phones = (
-            exhausted.filter(F.col("kind") == "phone")
-            .unionByName(failed.filter(F.col("kind") == "phone"))
+            exhausted.filter(E["kind_phone"])
+            .unionByName(failed.filter(E["kind_phone"]))
             .select(F.col("url_hash").alias("phone_hash"))
         )
+
+        # deferred write queue: writes are PLANNED as their inputs appear but
+        # only fire (in a thread fan-out) after the single stats job has
+        # materialized every stage cache — concurrent jobs during the
+        # planning phase were measured to contend with the driver's py4j
+        # traffic and slow the wave down.
+        tag = {"wave": wave}
+        nf = max(2, cfg.shuffle_partitions // 8)
+        write_queue: list[tuple] = []
 
         # -- next state ---------------------------------------------------------
         pool = (
@@ -370,251 +450,219 @@ class CrawlEngine:
         frontier_next = (
             pool.join(fetched_hashes, "url_hash", "left_anti")
             .unionByName(requeue)
-        )
-        seen_add = (
+        ).localCheckpoint(eager=False)
+        self._warm(frontier_next)
+        write_queue.append(("frontier", "frontier", frontier_next,
+                            "overwrite", nf))
+        # seen_add feeds BOTH its table write and the Bloom build — checkpoint
+        # so it computes once; warm both so the expensive filter merge runs
+        # concurrently with the driver planning the stats/metrics section
+        seen_add = self._warm(
             new_links.unionByName(next_pages).unionByName(phone_rows)
-            .select("url_hash", "url_norm", "host", "kind",
-                    "discovery_rank", "discovered_wave")
+            .select(*E["seen_add_select"])
             .unionByName(seen_only)
-        )
-        filters_next = bloom.build_filters(
-            seen_add, filters, num_shards=cfg.num_shards,
-            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=wave)
+            .localCheckpoint(eager=False))
+        write_queue.append(("seen", "seen_urls", seen_add, "append", nf))
+        filters_next = self._warm(
+            bloom.build_filters(
+                seen_add, filters, num_shards=cfg.num_shards,
+                m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=wave)
+            .localCheckpoint(eager=False))
+        write_queue.append(("filters", "seen_filters", filters_next,
+                            "overwrite", None))
         pending_next = (
             pending_all.join(resolved_hashes, "phone_hash", "left_anti")
             .join(dead_phones, "phone_hash", "left_anti")
         )
+        write_queue.append(("pending", "pending_cars", pending_next,
+                            "overwrite", nf))
+        write_queue.append(("hoststate", "host_state", host_state_next,
+                            "overwrite", 1))
+        write_queue.append(("cars", "cars", saved_rows, "append", nf))
+        write_queue.append(("savedh", "saved_hashes",
+                            saved_rows.select(E["saved_hash_col"]),
+                            "append", 1))
+        # stage V: validate each saved car's photo against the corpus
+        write_queue.append(("imgs", "car_images",
+                            self._verify_images(saved_rows, wave),
+                            "append", nf))
 
         _mark("plan_state")
-        # -- wave scalar stats (independent tiny jobs; run concurrently) -------
-        frow_fut = stats_ex.submit(
-            lambda: fetched.groupBy().agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("status_code") == 200, 1)
-                      .otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status_code").isin(429, 503)
-                             & (F.col("attempt") + 1 < cfg.max_attempts), 1)
-                      .otherwise(0)).alias("requeued"),
-                F.sum(F.when((F.col("status_code") == 404)
-                             | (F.col("status_code").isin(429, 503)
-                                & (F.col("attempt") + 1 >= cfg.max_attempts)),
-                             1).otherwise(0)).alias("errors")).first())
-        _mark("stats_agg")
-        # -- metrics / per-partition lineage ------------------------------------
-        per_part = fetched.groupBy("__pid", "kind").agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0)).alias("ok"))
+        # -- ONE combined stats action ------------------------------------------
+        # cross-join of single-row aggregates over each cached stage: one
+        # job yields every wave counter at once (cheap — the stage caches
+        # are already materializing under the submitted writes/warms).
+        f_agg = fetched.groupBy().agg(*E["f_agg"])
+        c_agg = flagged.groupBy().agg(*E["c_agg"])
+        p_agg = parsed.groupBy().agg(*E["p_agg"])
+        s_agg = saved_rows.groupBy().agg(*E["s_agg"])
+        fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
+        stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
+                    .crossJoin(s_agg).crossJoin(fl_agg))
+
+        # metrics / per-partition lineage (off the same warm caches)
+        wave_lit = F.lit(wave).alias("wave")
+        per_part = fetched.groupBy("__pid", "kind").agg(*E["per_part_agg"])
         metric_rows = per_part.select(
-            F.lit(wave).alias("wave"), F.col("__pid").alias("partition_id"),
+            wave_lit, F.col("__pid").alias("partition_id"),
             "kind", F.lit("fetched").alias("metric"),
             F.col("fetched").cast("long").alias("value"),
         ).unionByName(per_part.select(
-            F.lit(wave).alias("wave"), F.col("__pid").alias("partition_id"),
+            wave_lit, F.col("__pid").alias("partition_id"),
             "kind", F.lit("fetch_ok").alias("metric"),
             F.col("ok").cast("long").alias("value")))
+        summary = stats_df.select(
+            wave_lit, F.lit(-1).alias("partition_id"), E["stack"],
+        ).select("wave", "partition_id", "kind", "metric", "value")
+        write_queue.append(("metrics", "metrics",
+                            metric_rows.unionByName(summary), "append", 1))
 
-        # -- commit (tagged with the wave: the checkpoint) -----------------------
-        _mark("metrics_plan")
-        saved_rows = saved_rows.localCheckpoint(eager=True)
-        st.saved = saved_rows.count()
-        tag = {"wave": wave}
-        nf = max(2, cfg.shuffle_partitions // 8)
-        _mark("saved_ckpt")
-        # -- stage V: validate each saved car's photo against the corpus ------
-        car_images_new = self._verify_images(saved_rows, wave)
-        _mark("stage_V_plan")
-        # independent table writes fan out over driver threads (each is its
-        # own Spark job; the local scheduler interleaves their tiny stages —
-        # on a cluster these are concurrent Iceberg commits to distinct tables)
-        from concurrent.futures import ThreadPoolExecutor
+        row = stats_df.first()
+        _mark("stats_job")
+        st.selected = row["f_n"] or 0
+        st.fetched_ok = row["f_ok"] or 0
+        st.requeued = row["f_requeued"] or 0
+        st.errors = row["f_errors"] or 0
+        st.discovered = row["c_disc"] or 0
+        st.skipped_db = row["c_skip"] or 0
+        st.enqueued = st.discovered - st.skipped_db - (row["c_over"] or 0)
+        st.saved = row["s_saved"] or 0
+        st.frontier_left = row["fl_left"] or 0
 
+        # -- commit fan-out (tagged with the wave: the checkpoint) ---------------
         def _timed(name, table, df, mode, nfi):
             t0 = _time.time()
             snap = self.t[table].write(df, mode, tag, nfi)
             _t[f"wt_{name}"] = round(_time.time() - t0, 3)
             return snap
 
-        with ThreadPoolExecutor(max_workers=6) as ex:
-            futs = [
-                ex.submit(_timed, "seen", "seen_urls", seen_add, "append", nf),
-                ex.submit(_timed, "filters", "seen_filters", filters_next,
-                          "overwrite", None),
-                ex.submit(_timed, "pending", "pending_cars", pending_next,
-                          "overwrite", nf),
-                ex.submit(_timed, "cars", "cars", saved_rows, "append", nf),
-                ex.submit(_timed, "imgs", "car_images", car_images_new,
-                          "append", nf),
-                ex.submit(_timed, "hoststate", "host_state", host_state_next,
-                          "overwrite", 1),
-            ]
-            fsnap = _timed("frontier", "frontier", frontier_next,
-                           "overwrite", nf)
-            # row count comes from the parquet footers of the files just
-            # written — no read-back Spark job
-            st.frontier_left = fsnap["rows"]
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(_timed, *args) for args in write_queue]
             for fut in futs:
                 fut.result()
         _mark("w_tables")
-        frow = frow_fut.result()
-        crow = crow_fut.result()
-        prow = prow_fut.result()
-        stats_ex.shutdown(wait=False)
-        st.selected = frow["n"] or 0
-        st.fetched_ok = frow["ok"] or 0
-        st.requeued = frow["requeued"] or 0
-        st.errors = frow["errors"] or 0
-        st.discovered = crow["disc"] or 0
-        st.skipped_db = crow["skip"] or 0
-        st.enqueued = st.discovered - st.skipped_db - (crow["over"] or 0)
-        c_parsed, c_deleted, c_nophone = (prow["n"] or 0,
-                                          prow["deleted"] or 0,
-                                          prow["nophone"] or 0)
-        summary = local_df(
-            self.spark,
-            [(wave, -1, "all", "fetched", int(st.selected)),
-             (wave, -1, "all", "fetch_ok", int(st.fetched_ok)),
-             (wave, -1, "all", "requeued", int(st.requeued)),
-             (wave, -1, "all", "errors", int(st.errors)),
-             (wave, -1, "car", "discovered", int(st.discovered)),
-             (wave, -1, "car", "skipped_db", int(st.skipped_db)),
-             (wave, -1, "car", "enqueued", int(st.enqueued)),
-             (wave, -1, "car", "parsed", int(c_parsed)),
-             (wave, -1, "car", "deleted", int(c_deleted)),
-             (wave, -1, "car", "no_phone", int(c_nophone)),
-             (wave, -1, "car", "saved", int(st.saved)),
-             (wave, -1, "all", "frontier_left", int(st.frontier_left))],
-            METRICS_SCHEMA)
-        self.t["metrics"].write(metric_rows.unionByName(summary),
-                                mode="append", tag=tag, num_files=1)
-        _mark("w_metrics")
+        warm_ex.shutdown(wait=False)
         _t.pop("_last", None); _t.pop("start", None)
         st.detail = _t
         return st
 
     # ------------------------------------------------------------------ parts
-    def _discover(self, listing_ok: DataFrame, seen: DataFrame,
-                  filters: DataFrame | None, cars: DataFrame,
-                  host_state: DataFrame, wave: int):
-        """Listing-page link discovery: P12/P13 + F1/F2/F6/F7/F8."""
+    def _exprs(self) -> dict:
+        """Wave-invariant Column expressions, built ONCE per engine.
+
+        Expression construction is py4j round-trip traffic — thousands of
+        tiny driver->JVM calls per wave if rebuilt each time — and was the
+        measured per-wave fixed cost.  Column objects are immutable and
+        reusable across DataFrames, so everything that does not embed the
+        wave number / timestamp is cached here; per wave only the handful
+        of `F.lit(wave)` / `F.lit(ts)` columns are created.
+        """
+        if getattr(self, "_E", None) is not None:
+            return self._E
+        from auto_ria_spark.sources.fetch import (FETCH_RESULT_EXTRA,
+                                                  page_store_side)
         cfg = self.cfg
-        links = listing_ok.select(
+        body = F.col("body")
+        E: dict = {}
+        E["page_side"] = (page_store_side(self.pages)
+                          if self.pages is not None else None)
+        E["fetch_schema"] = FRONTIER_SCHEMA
+        E["fetched_schema_full"] = FRONTIER_SCHEMA + ", " + FETCH_RESULT_EXTRA
+        E["fetched_cols"] = FRONTIER_COLS + [
+            "status_code", "body", "fetch_ua", "retry_after_s"]
+        E["pid"] = F.spark_partition_id()
+        # -- discover ---------------------------------------------------------
+        E["links_select"] = [
             F.col("url_norm").alias("page_url"),
             F.col("kind").alias("page_kind"),
             F.col("host").alias("page_host"),
             F.col("page_index"),
-            F.posexplode_outer(X.listing_links(F.col("body")))
+            X.listing_link_prices(body).alias("__prices"),
+            X.listing_link_fresh(body).alias("__fresh"),
+            F.posexplode_outer(X.listing_links(body))
             .alias("pos_on_page", "href"),
-        )
-        # empty pages (F6) surface as one null-href row: they gate pagination
-        # below but contribute no links.  Links classify by their own URL
-        # (sitemap pages list listing pages; listing pages list car pages)
-        # and carry their own host (cross-host links allowed).
-        link_rows = links.filter(F.col("href").isNotNull()).select(
-            "page_index", "pos_on_page",
+        ]
+        E["href_notnull"] = F.col("href").isNotNull()
+        E["link_rows_select"] = [
+            "page_url", "page_index", "pos_on_page",
             U.canonicalize_url(F.col("href")).alias("url_norm"),
-        ).withColumn("url_hash", U.url_hash64(F.col("url_norm"))) \
-            .withColumn("host", U.url_host(F.col("url_norm"))) \
-            .withColumn("link_kind", U.classify_kind(F.col("url_norm")))
-
-        # F1a: within-wave first occurrence (min (page_index, pos) wins)
-        w_first = Window.partitionBy("url_hash").orderBy("page_index",
-                                                         "pos_on_page")
-        link_rows = (
-            link_rows.withColumn("__rn", F.row_number().over(w_first))
-            .filter(F.col("__rn") == 1).drop("__rn")
-        )
-        # robots: disallowed URLs are never fetched and never enter seen
-        link_rows = robots_gate(link_rows, self.robots)
-
-        # F1b: drop links already discovered this run — Bloom pre-screen,
-        # exact anti-join only on the maybe-seen side (no false negatives)
-        probed = bloom.probe_filters(
-            link_rows, filters, num_shards=cfg.num_shards,
-            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k)
-        certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        new = certain_new.unionByName(
-            maybe.join(seen.select("url_hash"), "url_hash", "left_anti"))
-        # sitemap-discovered listing chains start their own pagination
-        new_listing_pages = new.filter(F.col("link_kind") == "listing")
-        new = new.filter(F.col("link_kind") == "car").drop("link_kind")
-
-        # F8: per-host discovery ranks continue from the host's running count
-        prev_counts = host_state.select(
-            "host", F.col("cars_discovered").alias("__prev"))
-        w_rank = Window.partitionBy("host").orderBy("page_index", "pos_on_page")
-        ranked = (
-            new.withColumn("__r", F.row_number().over(w_rank))
-            .join(prev_counts, "host", "left")
-            .withColumn(
-                "discovery_rank",
-                (F.coalesce(F.col("__prev"), F.lit(0)) + F.col("__r"))
-                .cast("long"))
-            .drop("__r", "__prev")
-        )
-        # F2: links already saved by a prior run are counted + seen but not
-        # fetched (reference existing_urls / check_urls_batch skip);
-        # F8: links ranked past max_cars are seen but never processed
-        flagged = (
-            ranked.join(
-                cars.select(U.url_hash64(F.col("url")).alias("url_hash"),
-                            F.lit(True).alias("__in_db")).distinct(),
-                "url_hash", "left")
-            .withColumn("__in_db", F.coalesce(F.col("__in_db"), F.lit(False)))
-            .withColumn(
-                "__over",
-                (~F.col("__in_db")) & (F.lit(cfg.max_cars) > 0)
-                & (F.col("discovery_rank") > cfg.max_cars))
-            .localCheckpoint(eager=True)
-        )
-
-        new_links = flagged.filter(~F.col("__in_db") & ~F.col("__over")).select(
+            # per-link snippet metadata -> priority columns (null if absent)
+            F.try_element_at(F.col("__prices"), F.col("pos_on_page") + 1)
+            .alias("priority_price"),
+            F.try_element_at(F.col("__fresh"), F.col("pos_on_page") + 1)
+            .alias("priority_freshness"),
+        ]
+        E["link_rows_derive"] = [
+            U.url_hash64(F.col("url_norm")).alias("url_hash"),
+            U.url_host(F.col("url_norm")).alias("host"),
+            U.classify_kind(F.col("url_norm")).alias("link_kind"),
+        ]
+        E["link_cols"] = ["page_index", "pos_on_page", "url_norm",
+                          "priority_price", "priority_freshness",
+                          "url_hash", "host", "link_kind"]
+        E["link_schema"] = (
+            "page_index int, pos_on_page int, url_norm string,"
+            " priority_price int, priority_freshness long,"
+            " url_hash long, host string, link_kind string")
+        E["rn_first"] = F.row_number().over(
+            Window.partitionBy("url_hash").orderBy(
+                "page_index", "pos_on_page", "page_url"))
+        E["rn_rank"] = F.row_number().over(
+            Window.partitionBy("host").orderBy(
+                "page_index", "pos_on_page", "url_norm"))
+        E["is_rn1"] = F.col("__rn") == 1
+        E["maybe_seen"] = F.col("maybe_seen")
+        E["kind_listing_link"] = F.col("link_kind") == "listing"
+        E["kind_car_link"] = F.col("link_kind") == "car"
+        E["prev_counts"] = ["host", F.col("cars_discovered").alias("__prev")]
+        E["rank_col"] = (
+            (F.coalesce(F.col("__prev"), F.lit(0)) + F.col("__r"))
+            .cast("long").alias("discovery_rank"))
+        E["in_db_true"] = F.lit(True).alias("__in_db")
+        E["in_db_fill"] = F.coalesce(F.col("__in_db"), F.lit(False))
+        E["over_col"] = (
+            (~F.col("__in_db")) & (F.lit(cfg.max_cars) > 0)
+            & (F.col("discovery_rank") > cfg.max_cars))
+        E["cond_new"] = ~F.col("__in_db") & ~F.col("__over")
+        E["cond_seen_only"] = F.col("__in_db") | F.col("__over")
+        E["new_links_static"] = [
             "url_norm", "url_hash", "host",
             F.lit("car").alias("kind"),
             U.kind_rank(F.lit("car")).alias("kind_rank"),
             "page_index", "pos_on_page",
             F.lit(0).alias("attempt"),
             F.lit(0).cast("long").alias("not_before"),
-            "discovery_rank",
-            F.lit(wave).alias("discovered_wave"),
-        )
-        seen_only = flagged.filter(F.col("__in_db") | F.col("__over")).select(
+            "discovery_rank", "priority_price", "priority_freshness",
+        ]
+        E["seen_only_static"] = [
             "url_hash", "url_norm", "host", F.lit("car").alias("kind"),
-            "discovery_rank", F.lit(wave).alias("discovered_wave"))
-
-        # host_state: bump the running discovery counters
-        per_host_new = flagged.groupBy("host").agg(F.count("*").alias("__new"))
-        host_state_next = (
-            host_state.join(per_host_new, "host", "full")
-            .select(
-                "host",
-                (F.coalesce(F.col("cars_discovered"), F.lit(0))
-                 + F.coalesce(F.col("__new"), F.lit(0))).alias("cars_discovered"),
-                F.coalesce(F.col("pagination_done"), F.lit(False))
-                .alias("pagination_done"))
-        )
-
-        # pagination (P13 + F6/F7/F8 stop rules) — listing pages only
-        page_counts = (
-            links.filter(F.col("page_kind") == "listing")
-            .groupBy("page_url", F.col("page_host").alias("host"),
-                     "page_index")
-            .agg(F.count(F.col("href")).alias("n_links"))
-        )
-        after_counts = host_state_next.select(
-            "host", F.col("cars_discovered").alias("__after"))
-        np_gate = page_counts.join(after_counts, "host", "left").filter(
+            "discovery_rank",
+        ]
+        E["host_state_select"] = [
+            "host",
+            (F.coalesce(F.col("cars_discovered"), F.lit(0))
+             + F.coalesce(F.col("__new"), F.lit(0))).alias("cars_discovered"),
+            F.coalesce(F.col("pagination_done"), F.lit(False))
+            .alias("pagination_done"),
+        ]
+        E["hs_new_agg"] = F.count("*").alias("__new")
+        E["kind_listing_page"] = F.col("page_kind") == "listing"
+        E["page_host_as_host"] = F.col("page_host").alias("host")
+        E["n_links_agg"] = F.count(F.col("href")).alias("n_links")
+        E["after_counts"] = ["host", F.col("cars_discovered").alias("__after")]
+        E["np_gate_cond"] = (
             (F.col("n_links") > 0)                                   # F6
             & ((F.lit(cfg.max_cars) == 0)
                | (F.col("__after") < F.lit(cfg.max_cars)))           # F8 stop
             & ((F.lit(cfg.max_pages) == 0)
                | (F.col("page_index") + 1 < F.lit(cfg.max_pages)))   # F7
         )
-        next_pages = np_gate.select(
+        E["next_pages_proj"] = [
             U.next_page_url(F.col("page_url")).alias("url_norm"),
             F.col("host"),
             (F.col("page_index") + 1).alias("page_index"),
-        ).select(
+        ]
+        E["next_pages_static"] = [
             "url_norm",
             U.url_hash64(F.col("url_norm")).alias("url_hash"),
             "host",
@@ -625,9 +673,10 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
             F.lit(0).cast("long").alias("not_before"),
             F.lit(None).cast("long").alias("discovery_rank"),
-            F.lit(wave).alias("discovered_wave"),
-        )
-        sitemap_listings = new_listing_pages.select(
+            F.lit(None).cast("int").alias("priority_price"),
+            F.lit(None).cast("long").alias("priority_freshness"),
+        ]
+        E["sitemap_static"] = [
             "url_norm", "url_hash", "host",
             F.lit("listing").alias("kind"),
             U.kind_rank(F.lit("listing")).alias("kind_rank"),
@@ -636,19 +685,11 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
             F.lit(0).cast("long").alias("not_before"),
             F.lit(None).cast("long").alias("discovery_rank"),
-            F.lit(wave).alias("discovered_wave"),
-        )
-        next_pages = (
-            next_pages.unionByName(sitemap_listings)
-            .dropDuplicates(["url_hash"])
-        )
-        next_pages = robots_gate(next_pages, self.robots)
-        return (new_links, next_pages, seen_only, host_state_next, flagged)
-
-    def _parse_cars(self, car_ok: DataFrame, wave: int):
-        """Car-page field projection (P2-P11, P14/P15) + F3 deleted drop."""
-        body = F.col("body")
-        parsed = car_ok.select(
+            F.lit(None).cast("int").alias("priority_price"),
+            F.lit(None).cast("long").alias("priority_freshness"),
+        ]
+        # -- parse cars --------------------------------------------------------
+        E["parsed_select"] = [
             "url_norm", "url_hash", "host", "discovery_rank",
             X.is_deleted_listing(body).alias("is_deleted"),
             X.extract_title(body).alias("title"),
@@ -662,18 +703,17 @@ class CrawlEngine:
             X.phone_url(body, F.col("url_norm")).alias("phone_url"),
             X.extract_images_count(body, X.extract_image_url(body))
             .alias("images_count"),
-        ).localCheckpoint(eager=True)
-        with_phone = (
-            parsed.filter(~F.col("is_deleted"))            # F3
-            .filter(F.col("phone_url").isNotNull())        # F4 (no handle)
-            .withColumn("phone_norm", U.canonicalize_url(F.col("phone_url")))
-            .withColumn("phone_hash", U.url_hash64(F.col("phone_norm")))
-        )
-        new_pending = with_phone.select(
+        ]
+        E["not_deleted"] = ~F.col("is_deleted")
+        E["has_phone_url"] = F.col("phone_url").isNotNull()
+        E["phone_norm"] = U.canonicalize_url(F.col("phone_url"))
+        E["phone_hash"] = U.url_hash64(F.col("phone_norm"))
+        E["pending_select"] = [
             "phone_hash", F.col("url_norm").alias("url"), "host",
             "discovery_rank", "title", "price_usd", "odometer", "username",
-            "image_url", "image_id", "images_count", "car_number", "car_vin")
-        phone_rows = with_phone.select(
+            "image_url", "image_id", "images_count", "car_number", "car_vin",
+        ]
+        E["phone_rows_static"] = [
             F.col("phone_norm").alias("url_norm"),
             F.col("phone_hash").alias("url_hash"),
             "host",
@@ -684,35 +724,233 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
             F.lit(0).cast("long").alias("not_before"),
             "discovery_rank",
-            F.lit(wave).alias("discovered_wave"))
+            F.lit(None).cast("int").alias("priority_price"),
+            F.lit(None).cast("long").alias("priority_freshness"),
+        ]
+        # -- resolve phones ------------------------------------------------------
+        E["phones_select"] = [
+            F.col("url_hash").alias("phone_hash"),
+            X.phones_from_json(body).alias("phone_arr"),
+        ]
+        E["has_phones"] = F.size("phone_arr") > 0
+        E["assembled_select"] = [
+            "url", "title", "price_usd", "odometer", "username",
+            X.join_phones(
+                F.transform(F.col("phone_arr"),
+                            lambda p: X.normalize_phone(p))
+            ).alias("phone_number"),
+            "image_url", "image_id", "images_count", "car_number", "car_vin",
+            F.timestamp_seconds(F.lit(cfg.wave_ts_base))
+            .alias("datetime_found"),
+            "host", "discovery_rank",
+        ]
+        E["resolved_select"] = [F.col("url_hash").alias("phone_hash")]
+        # -- run_wave ------------------------------------------------------------
+        E["kind_lst"] = F.col("kind").isin("listing", "sitemap")
+        E["kind_car"] = F.col("kind") == "car"
+        E["kind_phone"] = F.col("kind") == "phone"
+        E["status_ok"] = F.col("status_code") == 200
+        E["retryable"] = F.col("status_code").isin(429, 503)
+        E["s404"] = F.col("status_code") == 404
+        E["backoff"] = F.coalesce(
+            F.col("retry_after_s").cast("long"),
+            (F.lit(cfg.backoff_base_s) * (F.col("attempt") + 1))
+            .cast("long"))
+        E["can_retry"] = F.col("attempt") + 1 < F.lit(cfg.max_attempts)
+        E["requeue_pre"] = [
+            "url_norm", "url_hash", "host", "kind", "kind_rank",
+            "page_index", "pos_on_page",
+            (F.col("attempt") + 1).alias("attempt"),
+        ]
+        E["seen_add_select"] = ["url_hash", "url_norm", "host", "kind",
+                                "discovery_rank", "discovered_wave"]
+        E["f_agg"] = [
+            F.count("*").alias("f_n"),
+            F.sum(F.when(F.col("status_code") == 200, 1)
+                  .otherwise(0)).alias("f_ok"),
+            F.sum(F.when(F.col("status_code").isin(429, 503)
+                         & (F.col("attempt") + 1 < cfg.max_attempts), 1)
+                  .otherwise(0)).alias("f_requeued"),
+            F.sum(F.when((F.col("status_code") == 404)
+                         | (F.col("status_code").isin(429, 503)
+                            & (F.col("attempt") + 1 >= cfg.max_attempts)),
+                         1).otherwise(0)).alias("f_errors"),
+        ]
+        E["c_agg"] = [
+            F.count("*").alias("c_disc"),
+            F.sum(F.col("__in_db").cast("int")).alias("c_skip"),
+            F.sum(F.col("__over").cast("int")).alias("c_over"),
+        ]
+        E["p_agg"] = [
+            F.count("*").alias("p_n"),
+            F.sum(F.col("is_deleted").cast("int")).alias("p_deleted"),
+            F.sum(((~F.col("is_deleted")) & F.col("phone_url").isNull())
+                  .cast("int")).alias("p_nophone"),
+        ]
+        E["s_agg"] = [F.count("*").alias("s_saved")]
+        E["fl_agg"] = [F.count("*").alias("fl_left")]
+        E["per_part_agg"] = [
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0))
+            .alias("ok"),
+        ]
+        E["stack"] = F.expr(
+            "stack(12,"
+            " 'all','fetched', cast(coalesce(f_n, 0) as long),"
+            " 'all','fetch_ok', cast(coalesce(f_ok, 0) as long),"
+            " 'all','requeued', cast(coalesce(f_requeued, 0) as long),"
+            " 'all','errors', cast(coalesce(f_errors, 0) as long),"
+            " 'car','discovered', cast(coalesce(c_disc, 0) as long),"
+            " 'car','skipped_db', cast(coalesce(c_skip, 0) as long),"
+            " 'car','enqueued', cast(coalesce(c_disc, 0)"
+            "   - coalesce(c_skip, 0) - coalesce(c_over, 0) as long),"
+            " 'car','parsed', cast(coalesce(p_n, 0) as long),"
+            " 'car','deleted', cast(coalesce(p_deleted, 0) as long),"
+            " 'car','no_phone', cast(coalesce(p_nophone, 0) as long),"
+            " 'car','saved', cast(coalesce(s_saved, 0) as long),"
+            " 'all','frontier_left', cast(coalesce(fl_left, 0) as long)"
+            ") as (kind, metric, value)")
+        E["saved_hash_col"] = U.url_hash64(F.col("url")).alias("url_hash")
+        self._E = E
+        return E
+
+    def _discover(self, listing_ok: DataFrame, seen: DataFrame,
+                  filters: DataFrame | None, saved_hashes: DataFrame,
+                  host_state: DataFrame, wave: int):
+        """Listing-page link discovery: P12/P13 + F1/F2/F6/F7/F8."""
+        cfg, E = self.cfg, self._exprs()
+        wave_lit = F.lit(wave).alias("discovered_wave")
+        links = listing_ok.select(*E["links_select"])
+        # empty pages (F6) surface as one null-href row: they gate pagination
+        # below but contribute no links.  Links classify by their own URL
+        # (sitemap pages list listing pages; listing pages list car pages)
+        # and carry their own host (cross-host links allowed).
+        link_rows = (
+            links.filter(E["href_notnull"])
+            .select(*E["link_rows_select"])
+            .select("*", *E["link_rows_derive"])
+        )
+
+        # F1a: within-wave first occurrence (min (page_index, pos) wins).
+        # page_url tie-breaks the cross-chain case: two same-wave listing
+        # pages linking the same car at equal (page_index, pos) must pick
+        # the same winner on every run (reproducibility contract).
+        link_rows = (
+            link_rows.withColumn("__rn", E["rn_first"])
+            .filter(E["is_rn1"]).drop("__rn", "page_url")
+        )
+        # robots: disallowed URLs are never fetched and never enter seen
+        link_rows = robots_gate(link_rows, self.robots)
+
+        # F1b: drop links already discovered this run — Bloom pre-screen,
+        # exact anti-join only on the maybe-seen side (no false negatives)
+        probed = bloom.probe_filters(
+            link_rows, filters, num_shards=cfg.num_shards,
+            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k,
+            cand_cols=E["link_cols"] if self.robots is None else None,
+            cand_schema=E["link_schema"] if self.robots is None else None)
+        certain_new = probed.filter(~E["maybe_seen"]).drop("maybe_seen")
+        maybe = probed.filter(E["maybe_seen"]).drop("maybe_seen")
+        new = certain_new.unionByName(
+            maybe.join(seen.select("url_hash"), "url_hash", "left_anti"))
+        # sitemap-discovered listing chains start their own pagination
+        new_listing_pages = new.filter(E["kind_listing_link"])
+        new = new.filter(E["kind_car_link"]).drop("link_kind")
+
+        # F8: per-host discovery ranks continue from the host's running
+        # count; url_norm tie-breaks equal (page_index, pos) across chains
+        prev_counts = host_state.select(*E["prev_counts"])
+        ranked = (
+            new.withColumn("__r", E["rn_rank"])
+            .join(prev_counts, "host", "left")
+            .withColumn("discovery_rank", E["rank_col"])
+            .drop("__r", "__prev")
+        )
+        # F2: links already saved by a prior run are counted + seen but not
+        # fetched (reference existing_urls / check_urls_batch skip) — joined
+        # against the incremental saved_hashes side table, NOT a per-wave
+        # rescan of the cars table (which would be a full-table scan +
+        # shuffle per wave at 10^8 saved cars);
+        # F8: links ranked past max_cars are seen but never processed
+        flagged = (
+            ranked.join(saved_hashes.select("url_hash", E["in_db_true"]),
+                        "url_hash", "left")
+            .withColumn("__in_db", E["in_db_fill"])
+            .withColumn("__over", E["over_col"])
+            .localCheckpoint(eager=False)
+        )
+        flagged = self._warm(flagged)
+
+        new_links = flagged.filter(E["cond_new"]).select(
+            *E["new_links_static"], wave_lit)
+        seen_only = flagged.filter(E["cond_seen_only"]).select(
+            *E["seen_only_static"], wave_lit)
+
+        # host_state: bump the running discovery counters
+        per_host_new = flagged.groupBy("host").agg(E["hs_new_agg"])
+        host_state_next = (
+            host_state.join(per_host_new, "host", "full")
+            .select(*E["host_state_select"])
+        )
+
+        # pagination (P13 + F6/F7/F8 stop rules) — listing pages only
+        page_counts = (
+            links.filter(E["kind_listing_page"])
+            .groupBy("page_url", E["page_host_as_host"], "page_index")
+            .agg(E["n_links_agg"])
+        )
+        after_counts = host_state_next.select(*E["after_counts"])
+        np_gate = page_counts.join(after_counts, "host", "left") \
+            .filter(E["np_gate_cond"])
+        next_pages = (
+            np_gate.select(*E["next_pages_proj"])
+            .select(*E["next_pages_static"], wave_lit)
+        )
+        sitemap_listings = new_listing_pages.select(
+            *E["sitemap_static"], wave_lit)
+        next_pages = (
+            next_pages.unionByName(sitemap_listings)
+            .dropDuplicates(["url_hash"])
+            # converging chains: a listing page reachable both via sitemap
+            # and via another chain's pagination must not re-enter the
+            # frontier once seen (mirrors the F1b path for car links)
+            .join(seen.select("url_hash"), "url_hash", "left_anti")
+        )
+        next_pages = robots_gate(next_pages, self.robots)
+        return (new_links, next_pages, seen_only, host_state_next, flagged)
+
+    def _parse_cars(self, car_ok: DataFrame, wave: int):
+        """Car-page field projection (P2-P11, P14/P15) + F3 deleted drop."""
+        E = self._exprs()
+        parsed = car_ok.select(*E["parsed_select"]) \
+            .localCheckpoint(eager=False)
+        parsed = self._warm(parsed)
+        with_phone = (
+            parsed.filter(E["not_deleted"])        # F3
+            .filter(E["has_phone_url"])            # F4 (no handle)
+            .withColumn("phone_norm", E["phone_norm"])
+            .withColumn("phone_hash", E["phone_hash"])
+        )
+        new_pending = with_phone.select(*E["pending_select"])
+        phone_rows = with_phone.select(
+            *E["phone_rows_static"], F.lit(wave).alias("discovered_wave"))
         return new_pending, phone_rows, parsed
 
     def _resolve_phones(self, phone_ok: DataFrame, pending: DataFrame):
-        """P16/P6/P17/P18 + J4 dedup: assemble + save car rows."""
-        cfg = self.cfg
-        phones = phone_ok.select(
-            F.col("url_hash").alias("phone_hash"),
-            X.phone_from_json(F.col("body")).alias("phone_raw"),
-        ).filter(F.col("phone_raw").isNotNull())
-        assembled = pending.join(phones, "phone_hash", "inner").select(
-            "url", "title", "price_usd", "odometer", "username",
-            X.normalize_phone(F.col("phone_raw")).alias("phone_number"),
-            "image_url", "image_id", "images_count", "car_number", "car_vin",
-            F.timestamp_seconds(F.lit(cfg.wave_ts_base)).alias("datetime_found"),
-            "host", "discovery_rank",
-        )
+        """P16/P6/P17/P18 + J4 dedup: assemble + save car rows.
+
+        P17: every phones[].phoneFormatted is normalized then ', '-joined
+        (the reference save path joins the phone LIST:
+        app/scraper/autoria.py:120-125)."""
+        E = self._exprs()
+        phones = phone_ok.select(*E["phones_select"]).filter(E["has_phones"])
+        assembled = pending.join(phones, "phone_hash", "inner") \
+            .select(*E["assembled_select"])
         # J4 within-batch VIN dedup: lowest discovery rank wins (the
         # deterministic refinement of the reference's first-insert-wins race,
-        # reference: app/utils/db_utils.py:130-141); null VINs exempt
-        w_vin = Window.partitionBy("car_vin").orderBy("discovery_rank", "url")
-        saved = (
-            assembled.withColumn(
-                "__rn",
-                F.when(F.col("car_vin").isNull(), F.lit(1))
-                .otherwise(F.row_number().over(w_vin)))
-            .filter(F.col("__rn") == 1).drop("__rn")
-        )
-        resolved = phone_ok.select(F.col("url_hash").alias("phone_hash"))
+        # reference: app/utils/db_utils.py:130-141)
+        saved = _dedup_by_vin(assembled)
+        resolved = phone_ok.select(*E["resolved_select"])
         return saved, resolved
 
     def _verify_images(self, saved_rows: DataFrame, wave: int) -> DataFrame:
@@ -789,15 +1027,7 @@ class CrawlEngine:
     def cars_final(self) -> DataFrame:
         """The deduped cars view (J3/J4 global semantics: per VIN the lowest
         discovery rank wins; URL uniqueness is structural — F1/F2)."""
-        cars = self._read("cars", CARS_SCHEMA)
-        w_vin = Window.partitionBy("car_vin").orderBy("discovery_rank", "url")
-        return (
-            cars.withColumn(
-                "__rn",
-                F.when(F.col("car_vin").isNull(), F.lit(1))
-                .otherwise(F.row_number().over(w_vin)))
-            .filter(F.col("__rn") == 1).drop("__rn")
-        )
+        return _dedup_by_vin(self._read("cars", CARS_SCHEMA))
 
     def seen(self) -> DataFrame:
         return self._read("seen_urls", SEEN_SCHEMA)

@@ -40,26 +40,44 @@ FETCH_RESULT_EXTRA = (
 )
 
 
-def fetched_frontier(selected: DataFrame, pages: DataFrame) -> DataFrame:
-    """Join the wave's selected frontier rows to the page store and run the
-    fetch stage.  Both sides are keyed by url_hash (long) — at scale both
-    tables are bucketed by url_hash so this is a co-partitioned join.
-    """
-    page_side = pages.select(
+def page_store_side(pages: DataFrame) -> DataFrame:
+    """The page-store projection for the fetch join — build ONCE per crawl
+    and reuse every wave (expression construction is driver fixed cost)."""
+    return pages.select(
         F.col("url_hash").alias("__page_hash"),
         F.col("payload").alias("__payload"),
         F.col("fail_503_times").alias("__fail_times"),
         F.col("retry_after").alias("__retry_after"),
     )
+
+
+def fetched_frontier(selected: DataFrame, pages: DataFrame | None, *,
+                     page_side: DataFrame | None = None,
+                     cand_cols: list[str] | None = None,
+                     cand_schema: str | None = None) -> DataFrame:
+    """Join the wave's selected frontier rows to the page store and run the
+    fetch stage.  Both sides are keyed by url_hash (long) — at scale both
+    tables are bucketed by url_hash so this is a co-partitioned join.
+
+    ``cand_cols``/``cand_schema`` let the caller pass the (known, fixed)
+    frontier shape so this function never touches ``selected.schema`` —
+    a schema access forces a full Catalyst analysis of the selection
+    chain, a measurable per-wave driver cost.
+    """
+    if page_side is None:
+        page_side = page_store_side(pages)
     joined = selected.join(
-        page_side, selected["url_hash"] == page_side["__page_hash"], "left"
+        page_side, F.col("url_hash") == F.col("__page_hash"), "left"
     ).drop("__page_hash")
 
-    cols = [c for c in selected.columns]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in selected.schema.fields
-    ) + ", " + FETCH_RESULT_EXTRA
+    if cand_cols is None:
+        cand_cols = [c for c in selected.columns]
+    cols = cand_cols
+    if cand_schema is None:
+        cand_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in selected.schema.fields)
+    out_schema = cand_schema + ", " + FETCH_RESULT_EXTRA
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # iterator form: a real client would be opened once per partition here

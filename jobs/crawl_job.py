@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--resume", default="false")
     ap.add_argument("--fresh", default="true")
+    ap.add_argument("--payload-format", default="json",
+                    choices=["json", "html"],
+                    help="html = crawl real rendered pages through the P1 "
+                         "selector-cascade extraction stage")
+    ap.add_argument("--order-mode", default="crawl",
+                    choices=["crawl", "price", "freshness"],
+                    help="car-fetch scheduling priority (north-star "
+                         "price/freshness generalization)")
     args = ap.parse_args()
 
     from auto_ria_spark.config import CrawlConfig
@@ -63,10 +71,12 @@ def main() -> None:
         wave_seconds=5,
         num_shards=args.num_shards,
         shuffle_partitions=args.shuffle_partitions or max(cores, 8),
+        payload_format=args.payload_format,
+        order_mode=args.order_mode,
     )
     pages = worldgen.pages_df(
         spark, args.hosts, args.cars_per_host, args.page_size,
-        partitions=max(cores, 8),
+        partitions=max(cores, 8), fmt=args.payload_format,
     ).cache()
     pages.count()  # materialize the world before timing the crawl
 

@@ -32,7 +32,7 @@ def run_both(spark, tmp_path, cfg, n_hosts=1, cars_per_host=300,
              page_size=100, db_urls=None, robots_rows=None):
     world = worldgen.build_world_local(n_hosts, cars_per_host, page_size)
     seeds = worldgen.seed_rows(n_hosts)
-    pages = spark.createDataFrame(world, schema=worldgen.PAGES_SCHEMA)
+    pages = worldgen.pages_local_df(spark, world)
     robots = (
         spark.createDataFrame(
             robots_rows, schema="host string, path_prefix string, allowed boolean")
