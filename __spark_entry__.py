@@ -3,9 +3,12 @@
 ``entry``   — flagship pipeline over /root/testdata/sf0.001 parquet.
 ``queries`` — one entry per implemented operator (SURVEY.md §2 + the
               training-data ops); each callable takes (spark, sf_dir).
-``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for the
-              genuinely non-SQL ops: the crawl wave loop and the binary
-              image verification, which get rows-only checks).
+``oracle_sql`` — DuckDB-equivalent SQL per query.  The two non-relational
+              flagships (the crawl wave loop, the binary image verify) run
+              over seed-deterministic worlds, so their expected rows are
+              emitted by the pure-Python reference oracle as
+              ``SELECT ... FROM (VALUES ...)`` queries — every entry gets
+              the full rows+schema+hash gate.
 """
 
 from __future__ import annotations
@@ -40,42 +43,141 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# crawl_e2e world + config — shared by the Spark query and its VALUES oracle
+_E2E_CFG = dict(host_budget=100, phone_budget=100, backoff_base_s=1,
+                wave_seconds=5, num_shards=4, shuffle_partitions=8)
+_E2E_WORLD = (1, 60, 20)  # hosts, cars/host, page size
+_E2E_COLS = [
+    ("url", "VARCHAR"), ("title", "VARCHAR"), ("price_usd", "INTEGER"),
+    # odometer is nullable -> transported as VARCHAR on BOTH sides (a
+    # nullable INTEGER degrades to float64 in DuckDB's pandas bridge,
+    # which breaks value normalization for the whole column)
+    ("odometer", "VARCHAR"), ("username", "VARCHAR"),
+    ("phone_number", "VARCHAR"), ("image_url", "VARCHAR"),
+    ("image_id", "VARCHAR"), ("images_count", "INTEGER"),
+    ("car_number", "VARCHAR"), ("car_vin", "VARCHAR"),
+    ("datetime_found", "BIGINT"), ("host", "VARCHAR"),
+    ("discovery_rank", "BIGINT"),
+]
+
+
 def _q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule flagship: full crawl of a deterministic synthetic
     world (frontier + Bloom seen-set + politeness + retries), returning the
-    final cars table.  Not SQL-expressible -> rows-only driver check; the
-    exact reference-equivalence proof lives in tests/test_crawl_golden.py."""
+    final cars table.  The world is seed-fixed, so the pure-Python reference
+    oracle emits the expected rows as a VALUES query (oracle_sql below) —
+    full rows+schema+hash driver gate; the field-by-field equivalence proof
+    also lives in tests/test_crawl_golden.py."""
     from auto_ria_spark.config import CrawlConfig
     from auto_ria_spark.plans.crawl import CrawlEngine
     from auto_ria_spark.sources import worldgen
 
-    cfg = CrawlConfig(host_budget=100, phone_budget=100, backoff_base_s=1,
-                      wave_seconds=5, num_shards=4, shuffle_partitions=8)
-    world = worldgen.build_world_local(1, 60, 20)
-    pages = spark.createDataFrame(world, schema=worldgen.PAGES_SCHEMA)
+    cfg = CrawlConfig(**_E2E_CFG)
+    world = worldgen.build_world_local(*_E2E_WORLD)
+    pages = worldgen.pages_local_df(spark, world)
     eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_"), cfg,
                       pages=pages)
     eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
-    return eng.cars_final().orderBy("discovery_rank")
+    return eng.cars_final().select(
+        "url", "title", "price_usd",
+        F.col("odometer").cast("string").alias("odometer"),
+        "username", "phone_number", "image_url", "image_id", "images_count",
+        "car_number", "car_vin",
+        F.unix_timestamp("datetime_found").cast("long")
+        .alias("datetime_found"),
+        "host", "discovery_rank",
+    ).orderBy("discovery_rank")
+
+
+def _q_crawl_e2e_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship crawl over the HTML-rendered world through the P1
+    selector-cascade extraction stage (functions/html_extract.py) — same
+    facts, same VALUES oracle, so the driver's rows+schema+hash gate
+    covers the real-HTML path end-to-end."""
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.plans.crawl import CrawlEngine
+    from auto_ria_spark.sources import worldgen
+
+    cfg = CrawlConfig(payload_format="html", **_E2E_CFG)
+    world = worldgen.build_world_local(*_E2E_WORLD, fmt="html")
+    pages = worldgen.pages_local_df(spark, world)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_html_"), cfg,
+                      pages=pages)
+    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+    return eng.cars_final().select(
+        "url", "title", "price_usd",
+        F.col("odometer").cast("string").alias("odometer"),
+        "username", "phone_number", "image_url", "image_id", "images_count",
+        "car_number", "car_vin",
+        F.unix_timestamp("datetime_found").cast("long")
+        .alias("datetime_found"),
+        "host", "discovery_rank",
+    ).orderBy("discovery_rank")
+
+
+_E2E_ORACLE_CACHE: list = []
+
+
+def _crawl_e2e_oracle() -> str:
+    """Expected cars rows from the pure-Python reference oracle, emitted as
+    a DuckDB VALUES query (deterministic world, seed 42).  Shared verbatim
+    by crawl_e2e and crawl_e2e_html (same facts, different wire format)."""
+    if _E2E_ORACLE_CACHE:
+        return _E2E_ORACLE_CACHE[0]
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.oracle import crawl_oracle, values_sql
+    from auto_ria_spark.sources import worldgen
+
+    cfg = CrawlConfig(**_E2E_CFG)
+    world = worldgen.build_world_local(*_E2E_WORLD)
+    res = crawl_oracle(world, worldgen.seed_rows(1), cfg)
+    rows = []
+    for c in sorted(res.cars, key=lambda c: c["discovery_rank"]):
+        r = dict(c)
+        r["odometer"] = None if c["odometer"] is None else str(c["odometer"])
+        r["datetime_found"] = cfg.wave_ts_base
+        rows.append(r)
+    _E2E_ORACLE_CACHE.append(values_sql(rows, _E2E_COLS))
+    return _E2E_ORACLE_CACHE[0]
+
+
+_CORPUS_N = 64
+_CORPUS_COLS = [
+    ("image_id", "VARCHAR"), ("fmt", "VARCHAR"), ("psnr", "DOUBLE"),
+    ("pixel_ok", "BOOLEAN"), ("caption_ok", "BOOLEAN"),
+    ("phash_ok", "BOOLEAN"), ("w_ok", "BOOLEAN"), ("h_ok", "BOOLEAN"),
+]
 
 
 def _q_corpus_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint invariant: decode the corpus image bytes (mapInPandas) and
     verify PSNR>=40dB (lossy) / bit-exact (png) + caption + phash per row.
-    Binary codec work -> rows-only driver check."""
+    The corpus is seed-deterministic, so the expected verdicts (including
+    the exact PSNR doubles) are emitted as a VALUES oracle below."""
     from auto_ria_spark.functions.corpus import verify_corpus
     from auto_ria_spark.sources import worldgen
 
-    corpus = worldgen.corpus_df(spark, 64, partitions=4)
+    corpus = worldgen.corpus_df(spark, _CORPUS_N, partitions=4)
     return verify_corpus(corpus)
+
+
+def _corpus_verify_oracle() -> str:
+    from auto_ria_spark.oracle import corpus_verify_expected, values_sql
+
+    return values_sql(corpus_verify_expected(_CORPUS_N), _CORPUS_COLS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(Q.queries())
     qs["crawl_e2e"] = _q_crawl_e2e
+    qs["crawl_e2e_html"] = _q_crawl_e2e_html
     qs["corpus_verify"] = _q_corpus_verify
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    return Q.oracle_sql()
+    sqls = Q.oracle_sql()
+    sqls["crawl_e2e"] = _crawl_e2e_oracle()
+    sqls["crawl_e2e_html"] = _crawl_e2e_oracle()
+    sqls["corpus_verify"] = _corpus_verify_oracle()
+    return sqls

@@ -295,28 +295,64 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash per document over word hashes (near-dup fingerprint)."""
+    """64-bit SimHash per document over word hashes (near-dup fingerprint).
+
+    The 64 bit sources are two exact 32-bit halves of md5(w) (bits 0-31
+    from hex digits 1-8, bits 32-63 from digits 9-16), and the fingerprint
+    is returned as two 32-bit halves ``(simhash_hi, simhash_lo)``: packing
+    bit 63 into one BIGINT needs ``1 << 63``, which overflows signed
+    arithmetic in DuckDB (and is ANSI-unsafe generally) — two uint32-range
+    halves are exact in both engines, and hamming distance is just
+    popcount(hi^hi') + popcount(lo^lo')."""
     d = load(spark, sf_dir, "documents")
     wdf = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
-    wh = wdf.select("doc_id", _md5_long(F.col("w")).alias("h"))
+    wh = wdf.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long").alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10)
+        .cast("long").alias("h_hi"))
     bits = wh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.col("h"))
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "h_lo", "h_hi")
     votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("v"))
+        F.sum(F.when(
+            F.expr("(if(b < 32, h_lo >> b, h_hi >> (b - 32))) & 1") == 1,
+            1).otherwise(-1)).alias("v"))
     return (
         votes.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)"))
-                   .otherwise(0)).alias("simhash"))
+        .agg(
+            F.expr("bit_or(case when v > 0 and b >= 32"
+                   " then shiftleft(1L, b - 32) else 0L end)")
+            .alias("simhash_hi"),
+            F.expr("bit_or(case when v > 0 and b < 32"
+                   " then shiftleft(1L, b) else 0L end)")
+            .alias("simhash_lo"))
     )
 
 
+_JACCARD_DF_CAP = 100
+
+
 def q_jaccard_near_dup(spark, sf_dir):
-    """Word-set Jaccard similarity for same-source doc pairs (>= 0.5)."""
+    """Word-set Jaccard similarity for same-source doc pairs (>= 0.5),
+    computed over the NON-UBIQUITOUS vocabulary: tokens whose per-source
+    document frequency exceeds ``_JACCARD_DF_CAP`` are dropped before the
+    inverted-index self-join.  A hot token ("the") makes the within-token
+    pair count quadratic in its document frequency — the single scale
+    killer of this operator at 100 TB — while carrying no near-duplicate
+    signal; the cap bounds every token's join contribution to
+    cap^2 pairs.  The DuckDB oracle applies the identical cap."""
     d = load(spark, sf_dir, "documents")
     wd = d.select("source", "doc_id",
                   F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
+    rare = (
+        wd.groupBy("source", "w").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+        .select("source", "w")
+    )
+    wd = wd.join(rare, ["source", "w"], "left_semi")
     sizes = wd.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = wd.select("source", F.col("doc_id").alias("doc_a"), "w")
     b = wd.select("source", F.col("doc_id").alias("doc_b"), "w")
@@ -372,27 +408,61 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-def q_ann_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dims; top-3
-    per query within its bucket — the scale path (join per bucket, never
-    all-pairs)."""
-    e = load(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (F.when(F.element_at(F.col("embedding"), d + 1) > 0,
+_ANN_BANDS = 4            # hyperplane tables; band t signs dims t*16+1..t*16+8
+_ANN_BUCKET_CAP = 100     # skew bound: buckets above this are dropped
+
+
+def _sign_bucket(dim0: int):
+    """8-bit sign-LSH bucket over dims dim0+1..dim0+8 (1-indexed array)."""
+    return sum(
+        (F.when(F.element_at(F.col("embedding"), dim0 + d + 1) > 0,
                 F.lit(1 << d)).otherwise(0) for d in range(8)),
         start=F.lit(0))
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Multi-band sign-LSH ANN: 4 independent 8-bit hyperplane tables
+    (bands over dims 1-8, 17-24, 33-40, 49-56); candidates = union of
+    same-(band, bucket) pairs, de-duplicated, then exact cosine top-3 per
+    query.  Never all-pairs, and never one table's (N/256)^2 recall/skew
+    wall: multiplicity recovers neighbors a single table splits apart,
+    while ``_ANN_BUCKET_CAP`` drops degenerate buckets (e.g. all-positive
+    regions) so the per-bucket join stays bounded at any N.  The DuckDB
+    oracle mirrors bands + cap exactly."""
+    e = load(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"),
-                    bucket.alias("bucket"))
-    norms = vecs.select("vec_id", "bucket", "emb",
-                        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
-    q = norms.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("bucket"),
-        F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
-    c = norms.select(F.col("vec_id").alias("cand_id"), F.col("bucket"),
-                     F.col("emb").alias("ce"), F.col("nrm").alias("cn"))
-    scored = (
-        q.join(c, "bucket")
+                    F.col("embedding"))
+    norms = vecs.select(
+        "vec_id", "emb", "embedding",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    bands = F.array(*[
+        F.struct(F.lit(t).alias("band"),
+                 _sign_bucket(t * 16).alias("bucket"))
+        for t in range(_ANN_BANDS)])
+    banded = norms.select(
+        "vec_id", F.explode(bands).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    ok_buckets = (
+        banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _ANN_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    capped = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
+    qside = capped.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket")
+    cside = capped.select(F.col("vec_id").alias("cand_id"), "band", "bucket")
+    pairs = (
+        qside.join(cside, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id").distinct()
+    )
+    qv = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
+    cv = norms.select(F.col("vec_id").alias("cand_id"),
+                      F.col("emb").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (
+        pairs.join(qv, "query_id").join(cv, "cand_id")
         .select("query_id", "cand_id",
                 F.round(_dot(F.col("qe"), F.col("ce"))
                         / (F.col("qn") * F.col("cn")), 4).alias("cos"))
@@ -643,23 +713,36 @@ _ORACLES: dict[str, str] = {
     "simhash": """
         WITH wh AS (
           SELECT doc_id,
-                 ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT AS h_lo,
+                 ('0x' || substr(md5(w), 9, 8))::BIGINT AS h_hi
           FROM documents, unnest(string_split(text, ' ')) AS t(w)
         ), votes AS (
           SELECT doc_id, b::INT AS b,
-                 sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM wh, unnest(generate_series(0, 15)) AS s(b)
+                 sum(CASE WHEN
+                       (CASE WHEN b::INT < 32 THEN h_lo >> b::INT
+                             ELSE h_hi >> (b::INT - 32) END) & 1 = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM wh, unnest(generate_series(0, 63)) AS s(b)
           GROUP BY doc_id, b::INT
         )
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
-                 AS simhash
+               bit_or(CASE WHEN v > 0 AND b >= 32
+                           THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT
+                 AS simhash_hi,
+               bit_or(CASE WHEN v > 0 AND b < 32
+                           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                 AS simhash_lo
         FROM votes GROUP BY doc_id
     """,
     "jaccard_near_dup": """
-        WITH wd AS (
+        WITH wd_all AS (
           SELECT DISTINCT source, doc_id, w
           FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        ), rare AS (
+          SELECT source, w FROM wd_all
+          GROUP BY source, w HAVING count(*) <= 100
+        ), wd AS (
+          SELECT wd_all.* FROM wd_all JOIN rare USING (source, w)
         ), sizes AS (
           SELECT doc_id, count(*) AS n FROM wd GROUP BY doc_id
         ), common AS (
@@ -693,32 +776,7 @@ _ORACLES: dict[str, str] = {
         FROM scored
         QUALIFY rnk <= 5
     """,
-    "ann_lsh_buckets": """
-        WITH v AS (
-          SELECT vec_id, embedding::DOUBLE[] AS emb,
-                 sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])) AS nrm,
-                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-                 + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-                 + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-                 + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-                 + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-          FROM embeddings
-        ), scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                 round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS cos
-          FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 50
-        )
-        SELECT query_id, cand_id, cos,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cos DESC, cand_id) AS rnk
-        FROM scored
-        QUALIFY rnk <= 3
-    """,
+    "ann_lsh_buckets": None,  # generated below (4 bands x 8 sign bits)
     "embedding_near_dup": """
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -784,6 +842,56 @@ _ORACLES: dict[str, str] = {
         FROM pos GROUP BY doc_id
     """,
 }
+
+
+def _bucket_sql(dim0: int) -> str:
+    """DuckDB mirror of _sign_bucket (1-indexed list access)."""
+    return " + ".join(
+        f"(CASE WHEN embedding[{dim0 + d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(8))
+
+
+def _ann_oracle_sql() -> str:
+    bands_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band, b{t} AS bucket FROM v"
+        for t in range(_ANN_BANDS))
+    bucket_cols = ",\n                 ".join(
+        f"{_bucket_sql(t * 16)} AS b{t}" for t in range(_ANN_BANDS))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm,
+                 {bucket_cols}
+          FROM embeddings
+        ), banded AS (
+          {bands_union}
+        ), ok AS (
+          SELECT band, bucket FROM banded
+          GROUP BY band, bucket HAVING count(*) <= {_ANN_BUCKET_CAP}
+        ), capped AS (
+          SELECT banded.* FROM banded JOIN ok USING (band, bucket)
+        ), pairs AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM capped q JOIN capped c USING (band, bucket)
+          WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        ), scored AS (
+          SELECT query_id, cand_id,
+                 round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+                   AS cos
+          FROM pairs
+          JOIN v a ON a.vec_id = query_id
+          JOIN v b ON b.vec_id = cand_id
+        )
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """
+
+
+_ORACLES["ann_lsh_buckets"] = _ann_oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,63 @@
+"""Scale-shape tests for the training-data queries: the properties that
+keep them viable at 100 TB (bounded bucket sizes, capped token document
+frequency, full-width fingerprints) — complementing the driver's DuckDB
+value-equality gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_ria_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_multiband_bucket_sizes_bounded(spark):
+    """Sign-LSH ANN must never concentrate: after the per-bucket cap, no
+    (band, bucket) group exceeds _ANN_BUCKET_CAP, and all bands exist."""
+    e = Q.load(spark, SF, "embeddings")
+    vecs = e.select("vec_id", "embedding")
+    bands = F.array(*[
+        F.struct(F.lit(t).alias("band"),
+                 Q._sign_bucket(t * 16).alias("bucket"))
+        for t in range(Q._ANN_BANDS)])
+    banded = vecs.select("vec_id", F.explode(bands).alias("bb")) \
+        .select("vec_id", "bb.band", "bb.bucket")
+    counts = banded.groupBy("band", "bucket").count()
+    capped = counts.filter(F.col("count") <= Q._ANN_BUCKET_CAP)
+    assert capped.agg(F.max("count")).first()[0] <= Q._ANN_BUCKET_CAP
+    assert banded.select("band").distinct().count() == Q._ANN_BANDS
+    # the query itself still returns ranked rows under the cap
+    out = Q.q_ann_lsh_buckets(spark, SF)
+    assert out.filter(F.col("rnk") > 3).count() == 0
+    assert out.count() > 0
+
+
+def test_jaccard_join_side_df_capped(spark):
+    """No token entering the inverted-index self-join may have document
+    frequency above the cap (the quadratic-blowup guard)."""
+    d = Q.load(spark, SF, "documents")
+    wd = d.select(
+        "source", "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"))
+    dfs = wd.groupBy("source", "w").agg(F.count("*").alias("df"))
+    rare = dfs.filter(F.col("df") <= Q._JACCARD_DF_CAP)
+    joined = wd.join(rare.select("source", "w"), ["source", "w"],
+                     "left_semi")
+    mx = (joined.groupBy("source", "w").agg(F.count("*").alias("df"))
+          .agg(F.max("df")).first()[0])
+    assert mx <= Q._JACCARD_DF_CAP
+
+
+def test_simhash_is_full_64_bits(spark):
+    """Both 32-bit halves must be populated (true 64-bit fingerprint) and
+    stay in uint32 range — the representation contract."""
+    out = Q.q_simhash(spark, SF)
+    row = out.agg(
+        F.max("simhash_hi"), F.max("simhash_lo"),
+        F.min("simhash_hi"), F.min("simhash_lo")).first()
+    assert 0 <= row[2] and 0 <= row[3]
+    assert row[0] < (1 << 32) and row[1] < (1 << 32)
+    assert row[0] > 0 and row[1] > 0
+    # fingerprints differ across documents (not degenerate)
+    assert out.select("simhash_hi", "simhash_lo").distinct().count() > 100

@@ -11,7 +11,8 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-from auto_ria_spark.queries import TABLES, oracle_sql, queries  # noqa: E402
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from auto_ria_spark.queries import TABLES  # noqa: E402
 from auto_ria_spark.session import get_spark  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
