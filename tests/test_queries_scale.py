@@ -49,6 +49,38 @@ def test_jaccard_join_side_df_capped(spark):
     assert mx <= Q._JACCARD_DF_CAP
 
 
+def test_vin_dedup_plan_routes_nulls_around_window(spark):
+    """Skew audit: the VIN-dedup physical plan must filter
+    isnotnull(car_vin) BEFORE the Window (null-VIN rows bypass the
+    shuffle entirely) and union the null branch back — never a window
+    whose partition key admits nulls."""
+    import io
+    from contextlib import redirect_stdout
+
+    from auto_ria_spark.plans.crawl import _dedup_by_vin
+
+    cars = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("V"), F.col("id"))).alias("car_vin"),
+        F.col("id").alias("discovery_rank"))
+    plan_df = _dedup_by_vin(cars)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("(1)")[0]          # the physical operator tree
+    assert "Window" in tree and "Union" in tree
+    # below the window's Exchange there must be a Filter (the notnull
+    # predicate) before the source — i.e. null rows never enter the
+    # shuffle; the null branch is the separate Union arm
+    ex = tree.index("Exchange")
+    flt = tree.find("Filter", ex)
+    src = tree.find("Range", ex)
+    assert 0 < flt < src, tree
+    assert tree.index("Window") < ex, tree
+
+
 def test_simhash_is_full_64_bits(spark):
     """Both 32-bit halves must be populated (true 64-bit fingerprint) and
     stay in uint32 range — the representation contract."""
