@@ -76,6 +76,27 @@ def shard_of(url_hash_col, num_shards: int):
     return F.pmod(url_hash_col, F.lit(num_shards)).cast("int")
 
 
+# session-keyed expression cache: build/probe run every wave; rebuilding
+# the same Column trees is pure py4j round-trip cost (see politeness.py)
+_EXPR_CACHE: dict = {}
+
+
+def _build_exprs(num_shards: int):
+    from pyspark.sql import SparkSession
+
+    key = (id(SparkSession.getActiveSession()), num_shards)
+    hit = _EXPR_CACHE.get(key)
+    if hit is None:
+        hit = (
+            [shard_of(F.col("url_hash"), num_shards).alias("shard"),
+             F.col("url_hash").cast("string").alias("url_hash_str")],
+            ["shard", F.col("bitset").alias("prior_bitset"),
+             F.col("n_items").alias("prior_n")],
+        )
+        _EXPR_CACHE[key] = hit
+    return hit
+
+
 def build_filters(
     new_urls: DataFrame,
     prior_filters: DataFrame | None,
@@ -96,10 +117,8 @@ def build_filters(
     # url_hash rides as a string: the right-join below introduces nulls, and
     # a nullable long surfaces in pandas as float64, which silently corrupts
     # hashes above 2^53 (false negatives!) — strings round-trip exactly.
-    hashed = new_urls.select(
-        shard_of(F.col("url_hash"), num_shards).alias("shard"),
-        F.col("url_hash").cast("string").alias("url_hash_str"),
-    )
+    hashed_cols, prior_cols = _build_exprs(num_shards)
+    hashed = new_urls.select(*hashed_cols)
     if prior_filters is None:
         from auto_ria_spark.util import local_df
 
@@ -108,9 +127,7 @@ def build_filters(
             [(s, bytes(m_bits // 8), 0, -1) for s in range(num_shards)],
             FILTER_SCHEMA,
         )
-    prior = prior_filters.select(
-        "shard", F.col("bitset").alias("prior_bitset"), F.col("n_items").alias("prior_n")
-    )
+    prior = prior_filters.select(*prior_cols)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])

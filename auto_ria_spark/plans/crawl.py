@@ -106,6 +106,42 @@ TABLES = ("frontier", "seen_urls", "seen_filters", "pending_cars", "cars",
           "car_images", "metrics", "host_state")
 
 
+_VERIFY_SCHEMA = (
+    "image_id string, url string, w int, h int, decoded_w int, decoded_h int,"
+    " phash long, decoded_phash long, image_ok boolean, caption string"
+)
+
+
+def _verify_pixels(batches):
+    """Stage-V kernel: decode each saved car's photo bytes and check the
+    decoded pixels reproduce the stored perceptual hash + declared dims
+    (input_hint per-row invariant).  Module-level (wave-independent) so the
+    closure is built once, not per wave."""
+    import pandas as pd
+
+    from auto_ria_spark.functions import imaging
+
+    cols = ["image_id", "url", "w", "h", "decoded_w", "decoded_h",
+            "phash", "decoded_phash", "image_ok", "caption"]
+    for pdf in batches:
+        out = []
+        for iid, url, data, w, h, phash, caption in zip(
+                pdf["image_id"], pdf["url"], pdf["bytes"], pdf["w"],
+                pdf["h"], pdf["phash"], pdf["caption"]):
+            dw = dh = dph = None
+            ok = False
+            if data is not None:
+                try:
+                    px = imaging.decode_image(bytes(data))
+                    dph = imaging.phash64(px)
+                    dh, dw = px.shape[0], px.shape[1]
+                    ok = bool(dw == w and dh == h and dph == phash)
+                except Exception:
+                    pass
+            out.append((iid, url, w, h, dw, dh, phash, dph, ok, caption))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def _dedup_by_vin(cars: DataFrame) -> DataFrame:
     """Per-VIN dedup (lowest discovery rank wins), null VINs exempt.
 
@@ -497,8 +533,9 @@ class CrawlEngine:
         p_agg = parsed.groupBy().agg(*E["p_agg"])
         s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
+        sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
         stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
-                    .crossJoin(s_agg).crossJoin(fl_agg))
+                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg))
 
         # metrics / per-partition lineage (off the same warm caches)
         wave_lit = F.lit(wave).alias("wave")
@@ -530,6 +567,17 @@ class CrawlEngine:
         st.frontier_left = row["fl_left"] or 0
 
         # -- commit fan-out (tagged with the wave: the checkpoint) ---------------
+        # tables a sparse/drain wave adds nothing to get a tag-only commit
+        # (same files, new wave tag — keeps the resume-consistency cut
+        # advancing) instead of an empty Spark write job
+        skip = set()
+        if st.saved == 0:
+            skip |= {"cars", "savedh", "imgs"}
+        if (row["sa_n"] or 0) == 0:
+            skip |= {"seen", "filters"}
+        if st.discovered == 0:
+            skip.add("hoststate")
+
         def _timed(name, table, df, mode, nfi):
             t0 = _time.time()
             snap = self.t[table].write(df, mode, tag, nfi)
@@ -537,7 +585,12 @@ class CrawlEngine:
             return snap
 
         with ThreadPoolExecutor(max_workers=8) as ex:
-            futs = [ex.submit(_timed, *args) for args in write_queue]
+            futs = []
+            for args in write_queue:
+                if args[0] in skip:
+                    self.t[args[1]].retag(tag)
+                else:
+                    futs.append(ex.submit(_timed, *args))
             for fut in futs:
                 fut.result()
         _mark("w_tables")
@@ -811,6 +864,12 @@ class CrawlEngine:
             " 'all','frontier_left', cast(coalesce(fl_left, 0) as long)"
             ") as (kind, metric, value)")
         E["saved_hash_col"] = U.url_hash64(F.col("url")).alias("url_hash")
+        # stage V statics
+        E["img_notnull"] = F.col("image_id").isNotNull()
+        E["corpus_proj"] = (
+            self.corpus.select("image_id", "bytes", "w", "h", "phash",
+                               "caption")
+            if self.corpus is not None else None)
         self._E = E
         return E
 
@@ -963,44 +1022,16 @@ class CrawlEngine:
         reference: app/core/models.py:60-61; the graft owns the pixels)."""
         if self.corpus is None:
             return empty_df(self.spark, CAR_IMAGES_SCHEMA)
-        cand = saved_rows.filter(F.col("image_id").isNotNull()).select(
-            "image_id", "url")
+        E = self._exprs()
+        cand = saved_rows.filter(E["img_notnull"]).select("image_id", "url")
         # broadcast the (small) wave's candidates so the corpus is NEVER
         # shuffled — the scan streams corpus partitions and keeps matches.
         # At 10^10 scale the corpus is Iceberg bucketed by image_id and this
         # becomes a storage-partitioned join instead.
-        joined = self.corpus.select(
-            "image_id", "bytes", "w", "h", "phash", "caption"
-        ).join(F.broadcast(cand), "image_id", "inner")
-
-        def verify(batches):
-            import pandas as pd
-
-            from auto_ria_spark.functions import imaging
-
-            cols = ["image_id", "url", "w", "h", "decoded_w", "decoded_h",
-                    "phash", "decoded_phash", "image_ok", "caption",
-                    "verified_wave"]
-            for pdf in batches:
-                out = []
-                for iid, url, data, w, h, phash, caption in zip(
-                        pdf["image_id"], pdf["url"], pdf["bytes"], pdf["w"],
-                        pdf["h"], pdf["phash"], pdf["caption"]):
-                    dw = dh = dph = None
-                    ok = False
-                    if data is not None:
-                        try:
-                            px = imaging.decode_image(bytes(data))
-                            dph = imaging.phash64(px)
-                            dh, dw = px.shape[0], px.shape[1]
-                            ok = bool(dw == w and dh == h and dph == phash)
-                        except Exception:
-                            pass
-                    out.append((iid, url, w, h, dw, dh, phash, dph, ok,
-                                caption, wave))
-                yield pd.DataFrame(out, columns=cols)
-
-        return joined.mapInPandas(verify, schema=CAR_IMAGES_SCHEMA)
+        joined = E["corpus_proj"].join(F.broadcast(cand), "image_id", "inner")
+        return joined.mapInPandas(
+            _verify_pixels, schema=_VERIFY_SCHEMA
+        ).withColumn("verified_wave", F.lit(wave))
 
     # ------------------------------------------------------------------ run
     def run(self, seeds: list[dict] | None = None, max_waves: int = 10_000,

@@ -122,6 +122,15 @@ class SnapshotTable:
                 snap["rows"] = 0
         return snap
 
+    def retag(self, tag: dict) -> dict:
+        """Tag-only commit: a new snapshot over the SAME files (an empty
+        append).  Used when a wave has nothing to add to a table — the
+        checkpoint-consistency cut (min wave tag across tables) still
+        advances without paying a Spark write job."""
+        snap = self._commit([], "append", tag)
+        snap["rows"] = 0
+        return snap
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              schema: str | None = None) -> DataFrame | None:
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()
