@@ -381,14 +381,25 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 per query vector (vec_id < 20) — the ANN
-    baseline.  Rounded before ranking so Spark/DuckDB agree exactly."""
+_BRUTE_MAX_QUERIES = 64  # hard in-code gate on the crossJoin query side
+
+
+def q_cosine_topk(spark, sf_dir, n_queries: int = 20):
+    """Brute-force cosine top-5 per query vector — the LABELED ANN
+    baseline, never the scale path (that is q_ann_lsh_buckets).  The
+    crossJoin's query side is gated IN CODE at ``_BRUTE_MAX_QUERIES``:
+    the scan side stays linear (N x n_queries), and asking for more
+    queries raises instead of silently going quadratic."""
+    if n_queries > _BRUTE_MAX_QUERIES:
+        raise ValueError(
+            f"brute-force cosine is capped at {_BRUTE_MAX_QUERIES} query "
+            f"vectors (asked {n_queries}); use q_ann_lsh_buckets for the "
+            "bucketed scale path")
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     norms = vecs.select(
         "vec_id", "emb", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
-    q = norms.filter(F.col("vec_id") < 20).select(
+    q = norms.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
         F.col("nrm").alias("qn"))
     c = norms.select(F.col("vec_id").alias("cand_id"),

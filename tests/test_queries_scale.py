@@ -81,6 +81,17 @@ def test_vin_dedup_plan_routes_nulls_around_window(spark):
     assert tree.index("Window") < ex, tree
 
 
+def test_brute_cosine_query_side_gated_in_code(spark):
+    """The crossJoin baseline must refuse to go quadratic: asking for more
+    query vectors than the in-code cap raises instead of running."""
+    import pytest
+
+    with pytest.raises(ValueError, match="capped"):
+        Q.q_cosine_topk(spark, SF, n_queries=Q._BRUTE_MAX_QUERIES + 1)
+    # the default stays within the gate and still returns ranked rows
+    assert Q.q_cosine_topk(spark, SF).count() == 100
+
+
 def test_simhash_is_full_64_bits(spark):
     """Both 32-bit halves must be populated (true 64-bit fingerprint) and
     stay in uint32 range — the representation contract."""
