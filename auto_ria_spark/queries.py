@@ -488,28 +488,103 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup detection (the dedup variant of ANN):
-    sign-LSH bucket first (never all-pairs), then exact cosine within the
-    bucket; pairs above threshold are duplicate candidates."""
+    multi-band sign-LSH candidates first (never all-pairs — same 4-band
+    construction and per-bucket cap as q_ann_lsh_buckets, which bounds
+    skew and recovers pairs a single table splits), then exact cosine on
+    the de-duplicated candidate pairs; pairs above threshold are
+    duplicate candidates."""
     e = load(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (F.when(F.element_at(F.col("embedding"), d + 1) > 0,
-                F.lit(1 << d)).otherwise(0) for d in range(8)),
-        start=F.lit(0))
-    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"),
-                    bucket.alias("bucket"))
-    norms = vecs.select("vec_id", "bucket", "emb",
-                        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
-    a = norms.select(F.col("vec_id").alias("vec_a"), F.col("bucket"),
-                     F.col("emb").alias("ea"), F.col("nrm").alias("na"))
-    b = norms.select(F.col("vec_id").alias("vec_b"), F.col("bucket"),
-                     F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
-    return (
-        a.join(b, "bucket")
+    norms = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb"),
+        F.col("embedding")
+    ).select("vec_id", "emb", "embedding",
+             F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    bands = F.array(*[
+        F.struct(F.lit(t).alias("band"),
+                 _sign_bucket(t * 16).alias("bucket"))
+        for t in range(_ANN_BANDS)])
+    banded = norms.select(
+        "vec_id", F.explode(bands).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    ok_buckets = (
+        banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _ANN_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    capped = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
+    a = capped.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = capped.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+    )
+    av = norms.select(F.col("vec_id").alias("vec_a"),
+                      F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    bv = norms.select(F.col("vec_id").alias("vec_b"),
+                      F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(av, "vec_a").join(bv, "vec_b")
         .select("vec_a", "vec_b",
                 F.round(_dot(F.col("ea"), F.col("eb"))
                         / (F.col("na") * F.col("nb")), 4).alias("cos"))
         .filter(F.col("cos") >= 0.35)
+    )
+
+
+_IVF_K = 8          # coarse-quantizer cells (deterministic seed centroids)
+_IVF_N_QUERIES = 30
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN — the coarse-quantizer alternative to sign-LSH: the
+    first ``_IVF_K`` vectors act as deterministic cell centroids (a fixed
+    seed assignment keeps the query SQL-expressible for the DuckDB
+    oracle; production would k-means them), every vector is assigned to
+    its max-cosine centroid, and each query searches ONLY its own cell —
+    candidate volume ~N/K per query, never all-pairs.  Exact cosine
+    top-3 within the cell."""
+    e = load(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).select("vec_id", "emb",
+             F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    cents = norms.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"))
+    assign_scores = (
+        norms.crossJoin(F.broadcast(cents))   # N x K, broadcast centroids
+        .select("vec_id",
+                F.col("cent_id"),
+                F.round(_dot(F.col("emb"), F.col("ce"))
+                        / (F.col("nrm") * F.col("cn")), 6).alias("sim"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    cells = (
+        assign_scores.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    member = norms.join(cells, "vec_id")
+    qside = member.filter(F.col("vec_id") < _IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
+    cside = member.select(F.col("vec_id").alias("cand_id"), "cell",
+                          F.col("emb").alias("ce2"),
+                          F.col("nrm").alias("cn2"))
+    scored = (
+        qside.join(cside, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                F.round(_dot(F.col("qe"), F.col("ce2"))
+                        / (F.col("qn") * F.col("cn2")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "cand_id", "cos", "rnk")
     )
 
 
@@ -788,28 +863,8 @@ _ORACLES: dict[str, str] = {
         QUALIFY rnk <= 5
     """,
     "ann_lsh_buckets": None,  # generated below (4 bands x 8 sign bits)
-    "embedding_near_dup": """
-        WITH v AS (
-          SELECT vec_id, embedding::DOUBLE[] AS emb,
-                 sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])) AS nrm,
-                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-                 + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-                 + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-                 + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-                 + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-          FROM embeddings
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
-                 AS cos
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
-              >= 0.35
-    """,
+    "embedding_near_dup": None,  # generated below (banded, capped)
+    "ann_ivf_topk": None,        # generated below (coarse-quantizer cells)
     "text_quality": """
         WITH t AS (
           SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
@@ -902,7 +957,86 @@ def _ann_oracle_sql() -> str:
     """
 
 
+def _banded_cte() -> str:
+    bands_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band, b{t} AS bucket FROM v"
+        for t in range(_ANN_BANDS))
+    bucket_cols = ",\n                 ".join(
+        f"{_bucket_sql(t * 16)} AS b{t}" for t in range(_ANN_BANDS))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm,
+                 {bucket_cols}
+          FROM embeddings
+        ), banded AS (
+          {bands_union}
+        ), ok AS (
+          SELECT band, bucket FROM banded
+          GROUP BY band, bucket HAVING count(*) <= {_ANN_BUCKET_CAP}
+        ), capped AS (
+          SELECT banded.* FROM banded JOIN ok USING (band, bucket)
+        )"""
+
+
+def _near_dup_oracle_sql() -> str:
+    return _banded_cte() + """
+        , pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM capped a JOIN capped b USING (band, bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+                 AS cos
+        FROM pairs
+        JOIN v a ON a.vec_id = vec_a
+        JOIN v b ON b.vec_id = vec_b
+        WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+              >= 0.35
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cent_id, emb AS ce, nrm AS cn
+          FROM v WHERE vec_id < {_IVF_K}
+        ), asg AS (
+          SELECT v.vec_id, c.cent_id,
+                 round(list_dot_product(v.emb, c.ce) / (v.nrm * c.cn), 6)
+                   AS sim
+          FROM v CROSS JOIN c
+        ), cells AS (
+          SELECT vec_id, cent_id AS cell FROM asg
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) = 1
+        ), m AS (
+          SELECT v.*, cells.cell FROM v JOIN cells USING (vec_id)
+        ), scored AS (
+          SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+                 round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 4)
+                   AS cos
+          FROM m q JOIN m t ON q.cell = t.cell AND q.vec_id <> t.vec_id
+          WHERE q.vec_id < {_IVF_N_QUERIES}
+        )
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """
+
+
 _ORACLES["ann_lsh_buckets"] = _ann_oracle_sql()
+_ORACLES["embedding_near_dup"] = _near_dup_oracle_sql()
+_ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -926,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

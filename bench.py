@@ -33,7 +33,7 @@ CARS_PER_HOST = max(_TOTAL // HOSTS, 20)
 
 HEADLINE = ["tpch_pricing", "nation_revenue", "dedup_exact",
             "minhash_signatures", "lsh_candidate_pairs", "simhash",
-            "cosine_topk", "ann_lsh_buckets", "text_quality",
+            "cosine_topk", "ann_lsh_buckets", "ann_ivf_topk", "text_quality",
             "doc_fingerprint", "politeness_topk", "first_occurrence_dedup"]
 
 

