@@ -466,14 +466,23 @@ def pages_local_df(spark, world_rows: list[dict]):
     relation instead — dragging Python workers into EVERY downstream job
     that scans the world (three fetch joins per wave), which dominates
     small-world crawl wall-clock.
+
+    Robust to the caller's session config: the Arrow conf is set at
+    runtime (it is runtime-settable and preserves the LocalRelation fast
+    path even on a bare ``SparkSession.builder.getOrCreate()`` session),
+    and nullable ints are carried as object-dtype ``None`` — the pandas
+    ``Int32`` extension dtype degrades to float NaN under the non-Arrow
+    fallback, which IntegerType's schema verifier rejects.
     """
     import pandas as pd
 
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     pdf = pd.DataFrame(world_rows, columns=[
         "url_norm", "kind", "host", "payload", "fail_503_times",
         "retry_after"])
     pdf["fail_503_times"] = pdf["fail_503_times"].astype("int32")
-    pdf["retry_after"] = pdf["retry_after"].astype("Int32")
+    ra = pd.to_numeric(pdf["retry_after"], errors="coerce")
+    pdf["retry_after"] = ra.astype(object).where(ra.notna(), None)
     return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
 
 

@@ -30,6 +30,16 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
         return empty_df(spark, schema)
     import pandas as pd
 
+    # Ensure the Arrow fast path regardless of how the caller built the
+    # session (runtime-settable conf), and keep the non-Arrow fallback
+    # safe too: missing values in non-float columns must be object-dtype
+    # None, never float NaN — IntegerType's schema verifier rejects NaN.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     st = StructType.fromDDL(schema)
     pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
+    for f in st.fields:
+        col = pdf[f.name]
+        if f.dataType.typeName() not in ("double", "float") and \
+                col.isna().any():
+            pdf[f.name] = col.astype(object).where(col.notna(), None)
     return spark.createDataFrame(pdf, schema=st)

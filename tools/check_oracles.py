@@ -15,8 +15,10 @@ from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from auto_ria_spark.queries import TABLES  # noqa: E402
 from auto_ria_spark.session import get_spark  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-ONLY = sys.argv[2:] or None
+ARGS = [a for a in sys.argv[1:] if a != "--bare"]
+BARE = "--bare" in sys.argv[1:]
+SF = ARGS[0] if ARGS else "/root/testdata/sf0.001"
+ONLY = ARGS[1:] or None
 
 
 def norm(v):
@@ -30,7 +32,18 @@ def norm(v):
 
 
 def main():
-    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    if BARE:
+        # Rehearse under a session with NO engine knobs (no Arrow, no AQE
+        # tuning) — the driver harness builds its own default session, and
+        # round 2's only failures were env-divergence bugs this mode
+        # would have caught (nullable Int32 → NaN under non-Arrow
+        # createDataFrame).
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.appName("oracle-check-bare")
+                 .master("local[8]").getOrCreate())
+    else:
+        spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
