@@ -25,19 +25,29 @@ from auto_ria_spark import queries as Q
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the corpus-curation pipeline over sf0.001 documents —
     exact-dedup fingerprint + MinHash signature digest + quality scores,
-    one row per surviving document."""
+    one row per surviving document.
+
+    ONE scan of documents: the content hash, the map-side MinHash digest
+    (queries._minhash_arr — no explode, no signature shuffle) and the
+    quality measures are all per-row projections over the same frame;
+    the only exchange is the exact-dedup window on content_md5."""
+    from pyspark.sql import Window
+
     sf = "/root/testdata/sf0.001"
-    quality = Q.q_text_quality(spark, sf)
-    exact = Q.q_dedup_exact(spark, sf)
-    sig = (
-        Q.q_minhash_signatures(spark, sf)
-        .groupBy("doc_id")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.concat(F.col("j").cast("string"), F.lit("="),
-                     F.col("minhash").cast("string")))))).alias("minhash_sig"))
+    d = Q.load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of", "and")))
+    rowed = Q._minhash_arr(d, extra=("text",)).select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        Q.minhash_digest("ms").alias("minhash_sig"),
+        F.size(toks).alias("n_tokens"),
+        F.round(stop / F.size(toks), 4).alias("stopword_ratio"),
     )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
-        exact.join(quality, "doc_id").join(sig, "doc_id")
+        rowed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select("doc_id", "content_md5", "minhash_sig", "n_tokens",
                 "stopword_ratio")
     )

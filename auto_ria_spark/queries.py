@@ -246,47 +246,97 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _shingles(d):
-    """Word 3-shingles in document order (doc_id, shingle)."""
-    words = _words(F.col("text"))
-    sh = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-        " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
-        " split(text, ' ')[i+1]))")
-    return d.select("doc_id", F.explode(sh).alias("shingle")), words
+_SHINGLE_EXPR = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+    " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
+    " split(text, ' ')[i+1]))")
+_LONG_MAX = (1 << 63) - 1
+_MINHASH_K = 8
+
+
+def _minhash_arr(d, extra: tuple = ()):
+    """Per-document k=8 MinHash signature as ``(doc_id, ms: array<long>)``,
+    computed ENTIRELY map-side: one projection builds the shingle array,
+    then k ``aggregate`` lambdas take the per-seed minimum in place.  No
+    explode, no shuffle — at 100 TB the old seeded-explode plan pushed
+    |shingles|×k rows through an exchange; this pushes zero.  Documents
+    with an empty shingle array produce no signature (explode semantics
+    preserved).  ``extra`` columns are carried through so callers can
+    fuse the signature into a wider single-scan pipeline."""
+    shdf = d.select("doc_id", *extra, F.expr(_SHINGLE_EXPR).alias("sh"))
+    mins = F.array(*[
+        F.expr(
+            f"aggregate(sh, {_LONG_MAX}L, (acc, s) -> least(acc,"
+            f" cast(conv(substring(md5(concat('{j}', ':', s)), 1, 15),"
+            f" 16, 10) as long)))")
+        for j in range(_MINHASH_K)])
+    return (shdf.filter(F.size("sh") > 0)
+            .select("doc_id", *extra, mins.alias("ms")))
+
+
+def minhash_digest(ms_col: str = "ms"):
+    """md5 digest of the k=8 signature in the legacy sorted "j=minhash"
+    order (single-digit j ⇒ sorted order == j order)."""
+    return F.md5(F.concat_ws(",", *[
+        F.concat(F.lit(f"{j}="),
+                 F.element_at(ms_col, j + 1).cast("string"))
+        for j in range(_MINHASH_K)]))
 
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (k=8) over word 3-shingles — the near-dup
-    primitive.  h_j(s) = md5_long(j || ':' || s); signature = min per j."""
+    primitive.  h_j(s) = md5_long(j || ':' || s); signature = min per j.
+    Output rows are (doc_id, j, minhash); the signature itself is built
+    map-side (see _minhash_arr) and only posexploded — k rows per doc,
+    still no shuffle."""
     d = load(spark, sf_dir, "documents")
-    sh, _ = _shingles(d)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
-        F.col("shingle"),
-    ).select(
-        "doc_id", "j",
-        _md5_long(F.concat(F.col("j").cast("string"), F.lit(":"),
-                           F.col("shingle"))).alias("h"))
-    return (
-        seeded.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
-    )
+    return _minhash_arr(d).select(
+        "doc_id", F.posexplode("ms").alias("j", "minhash"))
+
+
+_LSH_BUCKET_CAP = 100     # skew bound: band buckets above this are dropped
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates: band the k=8 signature into 4 bands
-    of 2, bucket-join docs sharing any band value (a < b)."""
-    sig = q_minhash_signatures(spark, sf_dir)
+    of 2, bucket-join docs sharing any band value (a < b).
+
+    Same-band-key self-joins are quadratic in bucket size, and web corpora
+    concentrate mass-duplicate clusters (boilerplate pages) into single
+    buckets — the one scale killer of banded LSH at 100 TB.  Buckets
+    larger than ``_LSH_BUCKET_CAP`` are dropped before the join (the
+    ``_ANN_BUCKET_CAP`` pattern): a >cap bucket is already a confirmed
+    duplicate CLUSTER, so its members need a single representative pass,
+    not cap² candidate pairs.  The DuckDB oracle applies the identical
+    cap; the bound is asserted by tests/test_queries_scale.py.
+
+    Band keys are derived map-side from the per-doc signature array
+    (_minhash_arr) — j is a single digit, so the legacy sorted
+    "j=minhash" concatenation order is exactly j-order, reproduced here
+    without the collect_list groupBy the old plan shuffled through."""
+    d = load(spark, sf_dir, "documents")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(t).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.concat(F.lit(f"{j}="),
+                         F.element_at("ms", j + 1).cast("string"))
+                for j in (2 * t, 2 * t + 1)])).alias("band_key"))
+        for t in range(_MINHASH_K // 2)])
     bands = (
-        sig.withColumn("band", (F.col("j") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.concat(F.col("j").cast("string"), F.lit("="),
-                     F.col("minhash").cast("string")))))).alias("band_key"))
+        _minhash_arr(d)
+        .select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.band_key").alias("band_key"))
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    ok_buckets = (
+        bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _LSH_BUCKET_CAP)
+        .select("band", "band_key")
+    )
+    capped = bands.join(ok_buckets, ["band", "band_key"], "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -303,33 +353,38 @@ def q_simhash(spark, sf_dir):
     bit 63 into one BIGINT needs ``1 << 63``, which overflows signed
     arithmetic in DuckDB (and is ANSI-unsafe generally) — two uint32-range
     halves are exact in both engines, and hamming distance is just
-    popcount(hi^hi') + popcount(lo^lo')."""
+    popcount(hi^hi') + popcount(lo^lo').
+
+    The plan is fully map-side — ZERO shuffle: per document, one array
+    expression hashes each word once, then 64 ``aggregate`` lambdas count
+    set bits per position and a bit is set iff strictly more than half the
+    word occurrences vote for it (``2·count_set > n_words``, exactly the
+    old +1/−1 vote-sum > 0, ties excluded).  The previous plan exploded
+    every word row ×64 through a groupBy — a 64× shuffle-row blowup this
+    projection eliminates entirely."""
     d = load(spark, sf_dir, "documents")
-    wdf = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
-    wh = wdf.select(
+    harr = d.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
-        .cast("long").alias("h_lo"),
-        F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10)
-        .cast("long").alias("h_hi"))
-    bits = wh.select(
+        F.expr("transform(split(text, ' '), w ->"
+               " cast(conv(substring(md5(w), 1, 8), 16, 10) as long))")
+        .alias("hl"),
+        F.expr("transform(split(text, ' '), w ->"
+               " cast(conv(substring(md5(w), 9, 8), 16, 10) as long))")
+        .alias("hh"),
+        F.expr("size(split(text, ' '))").alias("nw"))
+
+    def bit_term(arr: str, b: int, shift: int):
+        cnt = F.expr(f"aggregate({arr}, 0L, (acc, h) ->"
+                     f" acc + ((h >> {b}) & 1))")
+        return F.when(2 * cnt > F.col("nw"),
+                      F.lit(1 << shift).cast("long")).otherwise(F.lit(0))
+
+    lo = sum((bit_term("hl", b, b) for b in range(32)), start=F.lit(0))
+    hi = sum((bit_term("hh", b, b) for b in range(32)), start=F.lit(0))
+    return harr.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        "h_lo", "h_hi")
-    votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.when(
-            F.expr("(if(b < 32, h_lo >> b, h_hi >> (b - 32))) & 1") == 1,
-            1).otherwise(-1)).alias("v"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.expr("bit_or(case when v > 0 and b >= 32"
-                   " then shiftleft(1L, b - 32) else 0L end)")
-            .alias("simhash_hi"),
-            F.expr("bit_or(case when v > 0 and b < 32"
-                   " then shiftleft(1L, b) else 0L end)")
-            .alias("simhash_lo"))
-    )
+        hi.cast("long").alias("simhash_hi"),
+        lo.cast("long").alias("simhash_lo"))
 
 
 _JACCARD_DF_CAP = 100
@@ -790,9 +845,15 @@ _ORACLES: dict[str, str] = {
                  md5(string_agg(j || '=' || minhash, ',' ORDER BY j || '=' || minhash))
                  AS band_key
           FROM sig GROUP BY doc_id, (j // 2)::INT
+        ), ok_buckets AS (
+          SELECT band, band_key FROM bands
+          GROUP BY band, band_key HAVING count(*) <= 100
+        ), capped AS (
+          SELECT bands.* FROM bands
+          JOIN ok_buckets USING (band, band_key)
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """,

@@ -33,6 +33,28 @@ def test_ann_multiband_bucket_sizes_bounded(spark):
     assert out.count() > 0
 
 
+def test_lsh_band_buckets_capped(spark):
+    """MinHash-LSH band buckets entering the candidate self-join must not
+    exceed _LSH_BUCKET_CAP (the mass-duplicate-cluster n² guard): after
+    the semi-join cap, every (band, band_key) group is bounded, so the
+    per-bucket pair count is bounded by cap·(cap−1)/2."""
+    sig = Q.q_minhash_signatures(spark, SF)
+    bands = (
+        sig.withColumn("band", (F.col("j") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat(F.col("j").cast("string"), F.lit("="),
+                     F.col("minhash").cast("string")))))).alias("band_key")))
+    ok = (bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= Q._LSH_BUCKET_CAP).select("band", "band_key"))
+    capped = bands.join(ok, ["band", "band_key"], "left_semi")
+    mx = (capped.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+          .agg(F.max("n")).first()[0])
+    assert mx <= Q._LSH_BUCKET_CAP
+    # the query still yields pairs under the cap
+    assert Q.q_lsh_candidate_pairs(spark, SF).count() > 0
+
+
 def test_jaccard_join_side_df_capped(spark):
     """No token entering the inverted-index self-join may have document
     frequency above the cap (the quadratic-blowup guard)."""
