@@ -177,11 +177,40 @@ def _corpus_verify_oracle() -> str:
     return values_sql(corpus_verify_expected(_CORPUS_N), _CORPUS_COLS)
 
 
+_RESIZE_N, _RESIZE_W, _RESIZE_H = 64, 16, 12
+_RESIZE_COLS = [
+    ("image_id", "VARCHAR"), ("w", "INTEGER"), ("h", "INTEGER"),
+    ("fmt", "VARCHAR"), ("bytes_md5", "VARCHAR"),
+]
+
+
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail a deterministic corpus slice through the vectorized
+    box-filter mapInPandas stage (functions/multimodal.py); the payload is
+    reported as an md5 digest so the driver's value-hash gate covers the
+    resized bytes, not just the dims.  The oracle recomputes every row
+    with an INDEPENDENT per-pixel reference kernel (oracle.resize_reference)."""
+    from auto_ria_spark.functions.multimodal import resize_images
+    from auto_ria_spark.sources import worldgen
+
+    corpus = worldgen.corpus_df(spark, _RESIZE_N, partitions=4)
+    return resize_images(corpus, _RESIZE_W, _RESIZE_H).select(
+        "image_id", "w", "h", "fmt", F.md5("bytes").alias("bytes_md5"))
+
+
+def _image_resize_oracle() -> str:
+    from auto_ria_spark.oracle import resize_expected, values_sql
+
+    return values_sql(
+        resize_expected(_RESIZE_N, _RESIZE_W, _RESIZE_H), _RESIZE_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(Q.queries())
     qs["crawl_e2e"] = _q_crawl_e2e
     qs["crawl_e2e_html"] = _q_crawl_e2e_html
     qs["corpus_verify"] = _q_corpus_verify
+    qs["image_resize"] = _q_image_resize
     return qs
 
 
@@ -190,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_e2e"] = _crawl_e2e_oracle()
     sqls["crawl_e2e_html"] = _crawl_e2e_oracle()
     sqls["corpus_verify"] = _corpus_verify_oracle()
+    sqls["image_resize"] = _image_resize_oracle()
     return sqls

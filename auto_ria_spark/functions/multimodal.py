@@ -37,19 +37,27 @@ RESIZE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string")
 
 
 def _area_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Deterministic area-average resample (box filter) — pure numpy."""
+    """Deterministic area-average resample (box filter) — pure numpy,
+    loop-free: ``np.add.reduceat`` sums each output cell's pixel block on
+    both axes, then one division by the block areas.  Downscale only (this
+    is the thumbnail stage); upscaling raises instead of producing the
+    empty-slice NaN garbage the old per-pixel kernel silently cast.
+
+    Block sums of uint8 values are exact integers in float64 (< 2^53), so
+    the vectorized quotient is bit-identical to the naive per-pixel
+    mean the pure-Python oracle computes (oracle.resize_reference)."""
     h, w = px.shape[0], px.shape[1]
+    if out_h > h or out_w > w:
+        raise ValueError(
+            f"_area_resize is a downscale (thumbnail) stage: "
+            f"({w}x{h}) -> ({out_w}x{out_h}) upscales")
     ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
     xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
-    out = np.empty((out_h, out_w, px.shape[2]), np.uint8)
     acc = px.astype(np.float64)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        row = acc[y0:y1]
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = row[:, x0:x1].mean(axis=(0, 1)).round()
-    return out
+    rowsum = np.add.reduceat(acc, ys[:-1], axis=0)
+    blocksum = np.add.reduceat(rowsum, xs[:-1], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    return (blocksum / areas[:, :, None]).round().astype(np.uint8)
 
 
 def resize_images(corpus, out_w: int, out_h: int, fmt: str = "png"):

@@ -261,6 +261,48 @@ def corpus_verify_expected(n_images: int,
     return out
 
 
+def resize_reference(px, out_w: int, out_h: int):
+    """Independent per-pixel box-filter reference for the image_resize
+    driver gate: the naive double loop (mean of each output cell's pixel
+    block, rounded) — deliberately NOT the engine's reduceat kernel, so
+    the two implementations check each other."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w, px.shape[2]), np.uint8)
+    acc = px.astype(np.float64)
+    for i in range(out_h):
+        row = acc[ys[i]:ys[i + 1]]
+        for j in range(out_w):
+            out[i, j] = row[:, xs[j]:xs[j + 1]].mean(axis=(0, 1)).round()
+    return out
+
+
+def resize_expected(n_images: int, out_w: int, out_h: int,
+                    fmt: str = "png") -> list[dict]:
+    """Expected (image_id, w, h, fmt, bytes_md5) rows for resizing the
+    first ``n_images`` deterministic corpus images — pure Python end to
+    end (reference kernel + the repo codec + hashlib md5)."""
+    import hashlib
+
+    from auto_ria_spark.functions import imaging
+    from auto_ria_spark.sources import worldgen
+
+    out = []
+    for g in range(n_images):
+        row = worldgen.corpus_row(g)
+        px = imaging.decode_image(row["bytes"])
+        small = resize_reference(px, out_w, out_h)
+        data = imaging.encode_image(small, fmt)
+        out.append({
+            "image_id": row["image_id"], "w": out_w, "h": out_h,
+            "fmt": fmt, "bytes_md5": hashlib.md5(data).hexdigest(),
+        })
+    return out
+
+
 def _sql_lit(v, typ: str) -> str:
     """One SQL literal, explicitly cast so DuckDB types are pinned."""
     if v is None:

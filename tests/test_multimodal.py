@@ -25,6 +25,23 @@ def test_resize_images_roundtrip(spark):
         assert np.array_equal(px, MM._area_resize(src, 32, 24))
 
 
+def test_area_resize_matches_reference_and_rejects_upscale():
+    """The vectorized reduceat kernel must be bit-identical to the naive
+    per-pixel reference on awkward (non-divisible) block boundaries, and
+    refuse to upscale (the old kernel silently cast empty-slice NaNs)."""
+    from auto_ria_spark.oracle import resize_reference
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    for out_w, out_h in ((16, 12), (53, 37), (1, 1), (10, 36)):
+        got = MM._area_resize(px, out_w, out_h)
+        assert np.array_equal(got, resize_reference(px, out_w, out_h))
+    with pytest.raises(ValueError, match="upscale"):
+        MM._area_resize(px, 54, 12)
+    with pytest.raises(ValueError, match="upscale"):
+        MM._area_resize(px, 16, 38)
+
+
 def test_sample_frames_stride_and_decode(spark):
     vids = []
     for v in range(3):
