@@ -45,12 +45,20 @@ class CrawlConfig:
     # seconds of simulated time per wave (drives not_before eligibility)
     wave_ts_base: int = 1_700_000_000
     wave_seconds: int = 1
-    # Bloom-filter seen-set sharding: shard = pmod(url_hash, num_shards).
+    # URL-seen filter sharding: shard = pmod(url_hash, num_shards).
     # At 10^10 URLs: 4096 shards x 2^30 bits ~ 0.5 GiB/shard bitset, k=7
     # => <1% FPR. Tests use tiny shards; the math is identical.
     num_shards: int = 8
     bloom_bits_per_shard: int = 1 << 16
     bloom_k: int = 7
+    # seen-filter implementation: "bloom" (append-only bitsets) or
+    # "cuckoo" (operators/cuckoo.py — deletable fingerprints, enabling the
+    # recrawl() freshness re-queue without a full filter rebuild).
+    seen_filter: str = "bloom"
+    # cuckoo shard sizing: MUST be a power of two (alt-bucket involution);
+    # buckets x 4 slots x 2 B.  At 10^10 URLs: 4096 shards x 2^22 buckets
+    # = 32 MiB/shard at load <= 0.95.
+    cuckoo_buckets_per_shard: int = 1 << 12
     # hot-host skew: a host whose pending-fetch count exceeds this gets its
     # rows salted across `ceil(count / salt_target)` sub-partitions before
     # the fetch stage (C6).

@@ -198,6 +198,45 @@ class CrawlEngine:
         self.t = {name: self.wh.table(name)
                   for name in (*TABLES, "saved_hashes")}
 
+    # ---------------------------------------------------------------- filters
+    # The URL-seen filter is pluggable (cfg.seen_filter): Bloom shards are
+    # the cheapest append-only choice; cuckoo shards (operators/cuckoo.py)
+    # additionally support DELETION, which recrawl() needs to make a URL
+    # fetchable again without rebuilding the whole filter (the reference's
+    # "listing updated, scrape it again" re-check generalized —
+    # reference: app/utils/db_utils.py:48-76).
+    def _filter_schema(self) -> str:
+        if self.cfg.seen_filter == "cuckoo":
+            from auto_ria_spark.operators import cuckoo
+            return cuckoo.CUCKOO_SCHEMA
+        return bloom.FILTER_SCHEMA
+
+    def _build_filters(self, new_urls: DataFrame,
+                       prior: DataFrame | None, wave: int) -> DataFrame:
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            from auto_ria_spark.operators import cuckoo
+            return cuckoo.build_cuckoo(
+                new_urls, prior, num_shards=cfg.num_shards,
+                n_buckets=cfg.cuckoo_buckets_per_shard, wave=wave)
+        return bloom.build_filters(
+            new_urls, prior, num_shards=cfg.num_shards,
+            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=wave)
+
+    def _probe_filters(self, candidates: DataFrame,
+                       filters: DataFrame | None,
+                       cand_cols=None, cand_schema=None) -> DataFrame:
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            from auto_ria_spark.operators import cuckoo
+            return cuckoo.probe_cuckoo(
+                candidates, filters, num_shards=cfg.num_shards,
+                n_buckets=cfg.cuckoo_buckets_per_shard)
+        return bloom.probe_filters(
+            candidates, filters, num_shards=cfg.num_shards,
+            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k,
+            cand_cols=cand_cols, cand_schema=cand_schema)
+
     # ------------------------------------------------------------------ state
     def _read(self, name: str, schema: str) -> DataFrame:
         df = self.t[name].read(self.spark, schema=schema)
@@ -233,6 +272,84 @@ class CrawlEngine:
             .distinct(),
             mode="overwrite", tag={"wave": w}, num_files=1)
         return w + 1
+
+    def recrawl(self, urls: list[str]) -> None:
+        """Freshness re-queue: mark saved listings STALE so the next run
+        fetches exactly those URLs again — the reference's "listing
+        updated, scrape it again" re-check generalized (reference:
+        app/utils/db_utils.py:48-76) and the reason the cuckoo seen-filter
+        exists: its fingerprints DELETE in place (operators/cuckoo.py),
+        where Bloom must rebuild every touched shard from the exact table.
+
+        Per stale URL: its cars row and saved_hashes entry are removed and
+        the URL re-enters the frontier with its ORIGINAL discovery rank
+        (re-crawl refreshes a row's fields, never its crawl-order
+        identity), so the next wave fetches exactly the stale set.  The
+        car's own seen_urls/filter entry is KEPT — the URL is still known;
+        deleting it would let a later listing re-discover it under a new
+        rank — but its derived phone-XHR row (matched on the car's (host,
+        discovery_rank) identity) IS deleted from both seen_urls and the
+        filter, because the re-parsed car re-derives and re-announces the
+        phone URL; without the delete the filter would double-insert and
+        the seen table would duplicate.  All writes are tagged with the
+        last complete wave, so resume()/run() continue from a consistent
+        checkpoint cut, and the post-re-crawl (cars, seen) state is
+        bit-identical to the original crawl's.
+        """
+        cfg, spark = self.cfg, self.spark
+        w = self.last_complete_wave()
+        tag = {"wave": w}
+        nf = max(2, cfg.shuffle_partitions // 8)
+        stale = (
+            local_df(spark, [(u,) for u in urls], "url string")
+            .select(U.canonicalize_url(F.col("url")).alias("url_norm"))
+            .withColumn("url_hash", U.url_hash64(F.col("url_norm")))
+        )
+        seen = self._read("seen_urls", SEEN_SCHEMA)
+        stale_seen = seen.join(
+            F.broadcast(stale.select("url_hash")), "url_hash", "left_semi")
+        dead = (
+            seen.filter(F.col("kind") == "phone")
+            .join(F.broadcast(stale_seen.filter(F.col("kind") == "car")
+                              .select("host", "discovery_rank")),
+                  ["host", "discovery_rank"], "left_semi")
+            .select("url_hash").localCheckpoint()
+        )
+        seen_next = seen.join(F.broadcast(dead), "url_hash", "left_anti")
+        self.t["seen_urls"].write(seen_next, "overwrite", tag, nf)
+        filters = self.t["seen_filters"].read(
+            spark, schema=self._filter_schema())
+        if cfg.seen_filter == "cuckoo":
+            from auto_ria_spark.operators import cuckoo
+            filters_next = cuckoo.delete_cuckoo(
+                dead, filters, num_shards=cfg.num_shards,
+                n_buckets=cfg.cuckoo_buckets_per_shard, wave=w)
+        else:
+            # Bloom cannot delete: rebuild from the exact table (full
+            # seen-set scan — the cost recrawl's cuckoo mode avoids)
+            filters_next = self._build_filters(seen_next, None, wave=w)
+        self.t["seen_filters"].write(filters_next, "overwrite", tag)
+        cars = self._read("cars", CARS_SCHEMA)
+        cars_next = cars.join(
+            F.broadcast(stale.select(F.col("url_norm").alias("url"))),
+            "url", "left_anti")
+        self.t["cars"].write(cars_next, "overwrite", tag, nf)
+        self.t["saved_hashes"].write(
+            cars_next.select(U.url_hash64(F.col("url")).alias("url_hash"))
+            .distinct(), "overwrite", tag, 1)
+        requeue = stale_seen.filter(F.col("kind") != "phone").select(
+            "url_norm", "url_hash", "host", "kind",
+            U.kind_rank(F.col("kind")).alias("kind_rank"),
+            F.lit(0).alias("page_index"), F.lit(0).alias("pos_on_page"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).cast("long").alias("not_before"),
+            "discovery_rank", "discovered_wave",
+            F.lit(None).cast("int").alias("priority_price"),
+            F.lit(None).cast("long").alias("priority_freshness"),
+        ).select(*FRONTIER_COLS)
+        frontier = self._read("frontier", FRONTIER_SCHEMA)
+        self.t["frontier"].write(
+            frontier.unionByName(requeue), "overwrite", tag, nf)
 
     # ------------------------------------------------------------------ seed
     def start(self, seeds: list[dict]) -> None:
@@ -270,9 +387,7 @@ class CrawlEngine:
         tag = {"wave": -1}
         self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=1)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=1)
-        filters = bloom.build_filters(
-            seen, None, num_shards=cfg.num_shards,
-            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=-1)
+        filters = self._build_filters(seen, None, wave=-1)
         self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
         for name, schema in (("pending_cars", PENDING_SCHEMA),
                              ("cars", CARS_SCHEMA),
@@ -319,9 +434,7 @@ class CrawlEngine:
         nf = max(2, cfg.shuffle_partitions // 2)
         self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=nf)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=nf)
-        filters = bloom.build_filters(
-            seen, None, num_shards=cfg.num_shards,
-            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=-1)
+        filters = self._build_filters(seen, None, wave=-1)
         self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
         hs = fr.groupBy("host").agg(
             F.max("discovery_rank").alias("cars_discovered"),
@@ -383,7 +496,7 @@ class CrawlEngine:
         frontier = self._read("frontier", FRONTIER_SCHEMA)
         seen = self._read("seen_urls", SEEN_SCHEMA)
         filters = self.t["seen_filters"].read(spark,
-                                              schema=bloom.FILTER_SCHEMA)
+                                              schema=self._filter_schema())
         pending = self._read("pending_cars", PENDING_SCHEMA)
         saved_hashes = self._read("saved_hashes", SAVED_HASHES_SCHEMA)
         host_state = self._read("host_state", HOSTSTATE_SCHEMA)
@@ -500,9 +613,7 @@ class CrawlEngine:
             .localCheckpoint(eager=False))
         write_queue.append(("seen", "seen_urls", seen_add, "append", nf))
         filters_next = self._warm(
-            bloom.build_filters(
-                seen_add, filters, num_shards=cfg.num_shards,
-                m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k, wave=wave)
+            self._build_filters(seen_add, filters, wave)
             .localCheckpoint(eager=False))
         write_queue.append(("filters", "seen_filters", filters_next,
                             "overwrite", None))
@@ -903,9 +1014,8 @@ class CrawlEngine:
 
         # F1b: drop links already discovered this run — Bloom pre-screen,
         # exact anti-join only on the maybe-seen side (no false negatives)
-        probed = bloom.probe_filters(
-            link_rows, filters, num_shards=cfg.num_shards,
-            m_bits=cfg.bloom_bits_per_shard, k=cfg.bloom_k,
+        probed = self._probe_filters(
+            link_rows, filters,
             cand_cols=E["link_cols"] if self.robots is None else None,
             cand_schema=E["link_schema"] if self.robots is None else None)
         certain_new = probed.filter(~E["maybe_seen"]).drop("maybe_seen")

@@ -125,6 +125,61 @@ def test_golden_crawl_small_budget_same_result(spark, tmp_path):
     assert len(stats) > 5  # genuinely spread over many waves
 
 
+def test_golden_crawl_cuckoo_filter(spark, tmp_path):
+    """The cuckoo seen-filter is a drop-in for Bloom: identical crawl
+    result (seen set, order, saved rows) under cfg.seen_filter='cuckoo'."""
+    cfg = _cfg(seen_filter="cuckoo", cuckoo_buckets_per_shard=1 << 10)
+    eng, oracle, _ = run_both(spark, tmp_path, cfg, cars_per_host=60,
+                              page_size=20)
+    assert_match(eng, oracle)
+
+
+def _seen_identity(eng):
+    # membership identity (discovered_wave excluded: a re-crawled phone
+    # row is re-announced in a later wave by design)
+    return {(r.url_hash, r.url_norm, r.host, r.kind, r.discovery_rank)
+            for r in eng.seen().collect()}
+
+
+def _cars_by_url(eng):
+    return {r["url"]: {f: r[f] for f in CAR_FIELDS}
+            for r in eng.cars_final().collect()}
+
+
+def _recrawl_roundtrip(spark, tmp_path, cfg, k=3):
+    eng, oracle, _ = run_both(spark, tmp_path, cfg, cars_per_host=60,
+                              page_size=20)
+    before_cars, before_seen = _cars_by_url(eng), _seen_identity(eng)
+    stale = sorted(before_cars)[:k]
+    eng.recrawl(stale)
+    # stale rows are gone until re-fetched
+    mid = {r.url for r in eng.cars_final().select("url").collect()}
+    assert not (set(stale) & mid)
+    stats = eng.run(seeds=None)
+    # exactly the stale set is re-fetched: k car pages + k phone XHRs
+    assert sum(s.selected for s in stats) == 2 * k
+    assert sum(s.saved for s in stats) == k
+    assert stats[-1].frontier_left == 0
+    # the world is unchanged, so the refreshed state is identical
+    assert _cars_by_url(eng) == before_cars
+    assert _seen_identity(eng) == before_seen
+
+
+def test_recrawl_cuckoo_refetches_exactly_stale_set(spark, tmp_path):
+    """Freshness re-queue on the cuckoo filter: stale phone fingerprints
+    are DELETED in place (no rebuild), the stale cars re-fetch under their
+    original ranks, and the final state matches the original crawl."""
+    _recrawl_roundtrip(
+        spark, tmp_path,
+        _cfg(seen_filter="cuckoo", cuckoo_buckets_per_shard=1 << 10))
+
+
+def test_recrawl_bloom_rebuild_path(spark, tmp_path):
+    """Same semantics under Bloom, which cannot delete: recrawl falls back
+    to rebuilding the filter from the exact seen table."""
+    _recrawl_roundtrip(spark, tmp_path, _cfg(), k=2)
+
+
 def test_golden_crawl_robots(spark, tmp_path):
     robots = [
         {"host": "auto.ria.test", "path_prefix": "/auto_bmw", "allowed": False},
