@@ -71,6 +71,17 @@ class CrawlConfig:
     # robots gating on by default (engine addition per north_rule, C5)
     respect_robots: bool = True
 
+    # fetch transport: "pagestore" joins the synthetic page-store world
+    # (deterministic tests/bench), "http" issues real GETs from a reused
+    # per-partition client (sources/fetch.http_fetched_frontier).  With
+    # http_endpoint set, requests go to {endpoint}/{quote(url)} — the
+    # gateway mapping the localhost test server uses; empty = GET the URL
+    # directly (production).
+    fetch_mode: str = "pagestore"
+    http_endpoint: str = ""
+    http_timeout_s: float = 10.0
+    http_workers: int = 8
+
     # page body format: "json" (structured payloads, the fast path) or
     # "html" (real pages -> P1 extraction stage: an Arrow-batched
     # mapInPandas running the reference's selector cascades,

@@ -505,9 +505,16 @@ class CrawlEngine:
         E = self._exprs()
 
         def _fetch(sel):
-            f = fetched_frontier(sel, None, page_side=E["page_side"],
-                                 cand_cols=FRONTIER_COLS,
-                                 cand_schema=E["fetch_schema"])
+            if cfg.fetch_mode == "http":
+                from auto_ria_spark.sources.fetch import http_fetched_frontier
+                f = http_fetched_frontier(
+                    sel, endpoint=cfg.http_endpoint,
+                    timeout_s=cfg.http_timeout_s, workers=cfg.http_workers,
+                    cand_cols=FRONTIER_COLS, cand_schema=E["fetch_schema"])
+            else:
+                f = fetched_frontier(sel, None, page_side=E["page_side"],
+                                     cand_cols=FRONTIER_COLS,
+                                     cand_schema=E["fetch_schema"])
             if cfg.payload_format == "html":
                 # P1: real-HTML pages -> structured payload via the
                 # selector-cascade mapInPandas stage; every downstream

@@ -104,3 +104,72 @@ def fetched_frontier(selected: DataFrame, pages: DataFrame | None, *,
             yield out
 
     return joined.mapInPandas(fetch, schema=out_schema)
+
+
+def http_fetched_frontier(selected: DataFrame, *,
+                          endpoint: str = "",
+                          timeout_s: float = 10.0,
+                          workers: int = 8,
+                          cand_cols: list[str] | None = None,
+                          cand_schema: str | None = None) -> DataFrame:
+    """The REAL-HTTP fetch stage (cfg.fetch_mode='http'): iterator-form
+    ``mapInPandas`` holding ONE reused opener per partition — the
+    distributed analogue of the reference's single reused
+    ``httpx.AsyncClient`` (reference: app/scraper/autoria.py:229-231) —
+    issuing GETs with the same deterministic per-row UA rotation as the
+    page-store path and a small per-partition thread pool (the in-flight
+    concurrency the politeness budget already bounds per host).
+
+    ``endpoint`` maps crawl URLs onto a gateway origin for tests:
+    requests go to ``{endpoint}/{quote(url_norm)}``; empty means GET the
+    URL directly (production).  429/503 responses surface the
+    ``Retry-After`` header as ``retry_after_s`` so the frontier's
+    (attempt, not_before) re-queue machinery drives retries identically
+    to the page-store path.  Transport errors map to status 599 (dropped
+    by the wave: not ok, not retryable, not 404)."""
+    cols = cand_cols if cand_cols is not None else list(selected.columns)
+    if cand_schema is None:
+        cand_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in selected.schema.fields)
+    out_schema = cand_schema + ", " + FETCH_RESULT_EXTRA
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import quote
+
+        opener = urllib.request.build_opener()  # one client per partition
+
+        def one(url: str, ua: str):
+            target = (f"{endpoint}/{quote(url, safe='')}"
+                      if endpoint else url)
+            req = urllib.request.Request(
+                target, headers={"User-Agent": ua})
+            try:
+                with opener.open(req, timeout=timeout_s) as resp:
+                    return resp.status, resp.read().decode("utf-8"), None
+            except urllib.error.HTTPError as e:
+                ra = e.headers.get("Retry-After")
+                return e.code, None, (int(ra) if ra else None)
+            except Exception:
+                return 599, None, None
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = pdf[cols].copy()
+                ua_idx = pdf["url_hash"].to_numpy("int64") % len(UA_LIST)
+                uas = [UA_LIST[i] for i in ua_idx]
+                res = list(ex.map(one, pdf["url_norm"], uas))
+                out["fetch_ua"] = uas
+                out["status_code"] = pd.array(
+                    [r[0] for r in res], dtype="int32")
+                out["body"] = [r[1] for r in res]
+                out["retry_after_s"] = pd.array(
+                    [r[2] for r in res], dtype="Int32")
+                yield out
+
+    return selected.mapInPandas(fetch, schema=out_schema)
