@@ -173,12 +173,20 @@ def phone_from_json(body: Column) -> Column:
 def phones_from_json(body: Column) -> Column:
     """P16 generalized to the list contract (P17): ALL
     ``phones[].phoneFormatted`` values, as an array (normalized + joined
-    with ', ' downstream — reference save path: app/scraper/autoria.py:
-    120-125 joins a phone LIST).  Exact 1-phone reference semantics are
-    preserved: the ``formattedPhoneNumber`` fallback applies only when the
-    phones list is absent/empty, and a present-but-null
-    ``phones[0].phoneFormatted`` yields NO phone (F4 drop), both per
-    app/scraper/parsers/car_page.py:266-271.
+    with ', ' downstream).
+
+    INTENTIONAL beyond-reference generalization (documented in
+    COVERAGE.md "Engine generalizations"): the reference PARSER only ever
+    reads ``phones[0].phoneFormatted`` (app/scraper/parsers/
+    car_page.py:266-271) even though its SAVE path joins a phone list
+    (app/scraper/autoria.py:120-125) — so a multi-phone XHR stores one
+    phone there.  This engine keeps every phone.  On 1-phone responses
+    (the reference's test surface) the two are identical, and the
+    reference's edge semantics are kept exactly: the
+    ``formattedPhoneNumber`` fallback applies only when the phones list
+    is absent/empty, and a present-but-null ``phones[0].phoneFormatted``
+    yields NO phone (F4 drop).  The pure-Python oracle (tests/oracle.py)
+    implements the same all-phones contract.
     """
     phones = F.from_json(
         F.get_json_object(body, "$.phones"),

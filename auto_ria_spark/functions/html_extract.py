@@ -45,7 +45,7 @@ _VOID = {"img", "br", "meta", "link", "input", "hr", "area", "base", "col",
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "classes", "children", "texts")
+    __slots__ = ("tag", "attrs", "classes", "children", "texts", "content")
 
     def __init__(self, tag: str, attrs: dict):
         self.tag = tag
@@ -53,12 +53,19 @@ class Node:
         self.classes = set((attrs.get("class") or "").split())
         self.children: list[Node] = []
         self.texts: list[str] = []   # DIRECT text chunks, in order
+        # interleaved document-order content: str (text chunk) | Node —
+        # the single source of truth for text(); children/texts are the
+        # type-filtered views the selector code indexes.
+        self.content: list[Node | str] = []
 
     # -- text ---------------------------------------------------------------
     def text(self) -> str:
-        out = list(self.texts)
-        for c in self.children:
-            out.append(c.text())
+        """Subtree text in DOCUMENT order (BeautifulSoup get_text
+        semantics): '<div>a<span>b</span>c</div>' is 'abc' — direct chunks
+        and child subtrees interleave exactly as written."""
+        out = []
+        for item in self.content:
+            out.append(item if isinstance(item, str) else item.text())
         return "".join(out)
 
     def direct_text(self) -> str | None:
@@ -110,11 +117,14 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
+        self.stack[-1].content.append(node)
         if tag not in _VOID:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self.stack[-1].children.append(Node(tag, dict(attrs)))
+        node = Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        self.stack[-1].content.append(node)
 
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, 0, -1):
@@ -125,6 +135,7 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].texts.append(data)
+            self.stack[-1].content.append(data)
 
 
 def parse_html(html: str) -> Node:

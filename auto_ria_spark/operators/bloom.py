@@ -77,15 +77,21 @@ def shard_of(url_hash_col, num_shards: int):
 
 
 # session-keyed expression cache: build/probe run every wave; rebuilding
-# the same Column trees is pure py4j round-trip cost (see politeness.py)
-_EXPR_CACHE: dict = {}
+# the same Column trees is pure py4j round-trip cost (see politeness.py).
+# WeakKeyDictionary on the session OBJECT: entries die with the session,
+# and a restarted session can never collide with a reused id() the way an
+# id-keyed dict could after garbage collection.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_EXPR_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _build_exprs(num_shards: int):
     from pyspark.sql import SparkSession
 
-    key = (id(SparkSession.getActiveSession()), num_shards)
-    hit = _EXPR_CACHE.get(key)
+    spark = SparkSession.getActiveSession()
+    per = _EXPR_CACHE.setdefault(spark, {}) if spark is not None else {}
+    hit = per.get(num_shards)
     if hit is None:
         hit = (
             [shard_of(F.col("url_hash"), num_shards).alias("shard"),
@@ -93,7 +99,7 @@ def _build_exprs(num_shards: int):
             ["shard", F.col("bitset").alias("prior_bitset"),
              F.col("n_items").alias("prior_n")],
         )
-        _EXPR_CACHE[key] = hit
+        per[num_shards] = hit
     return hit
 
 

@@ -36,9 +36,13 @@ from pyspark.sql import functions as F
 # expression cache: the crawl engine calls top_b_per_host three times per
 # wave with the same (budget, order, salt_n) — rebuilding the window
 # expressions is pure py4j round-trip cost (the measured per-wave driver
-# overhead).  Keyed by session id so a restarted session never reuses
-# stale JVM references.
-_EXPR_CACHE: dict = {}
+# overhead).  WeakKeyDictionary on the session OBJECT: a restarted session
+# can never be served stale JVM references (an id()-keyed dict could,
+# after the old session is garbage-collected and its id reused), and
+# entries die with their session.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_EXPR_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _order_expr(spec):
@@ -52,8 +56,9 @@ def _order_expr(spec):
 
 def _top_b_exprs(budget: int, order_cols: tuple, salt_n: int):
     spark = SparkSession.getActiveSession()
-    key = (id(spark), budget, order_cols, salt_n)
-    hit = _EXPR_CACHE.get(key)
+    per = _EXPR_CACHE.setdefault(spark, {}) if spark is not None else {}
+    key = (budget, order_cols, salt_n)
+    hit = per.get(key)
     if hit is not None:
         return hit
     order = [_order_expr(c) for c in order_cols]
@@ -63,8 +68,8 @@ def _top_b_exprs(budget: int, order_cols: tuple, salt_n: int):
     r1_ok = F.col("__r1") <= budget
     r2 = F.row_number().over(Window.partitionBy("host").orderBy(*order))
     r2_ok = F.col("__r2") <= budget
-    _EXPR_CACHE[key] = (salt, r1, r1_ok, r2, r2_ok)
-    return _EXPR_CACHE[key]
+    per[key] = (salt, r1, r1_ok, r2, r2_ok)
+    return per[key]
 
 
 def top_b_per_host(

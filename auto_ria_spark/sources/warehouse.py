@@ -243,16 +243,17 @@ def iceberg_ddl() -> dict[str, str]:
     return {
         "frontier": (
             "CREATE TABLE IF NOT EXISTS crawl.frontier ("
-            " url string, url_norm string, url_hash bigint, host string,"
-            " kind string, kind_rank int, page_index int, pos_on_page int,"
-            " depth int, priority_price int, priority_freshness timestamp,"
-            " attempt int, not_before bigint, discovered_wave int,"
-            " discovery_rank bigint, car_id string)"
+            " url_norm string, url_hash bigint, host string, kind string,"
+            " kind_rank int, page_index int, pos_on_page int, attempt int,"
+            " not_before bigint, discovery_rank bigint,"
+            " discovered_wave int, priority_price int,"
+            " priority_freshness bigint)"
             " USING iceberg PARTITIONED BY (bucket(4096, url_hash))"
         ),
         "seen_urls": (
             "CREATE TABLE IF NOT EXISTS crawl.seen_urls ("
-            " url_hash bigint, url_norm string, discovered_wave int)"
+            " url_hash bigint, url_norm string, host string, kind string,"
+            " discovery_rank bigint, discovered_wave int)"
             " USING iceberg PARTITIONED BY (bucket(4096, url_hash))"
         ),
         "seen_filters": (
@@ -260,19 +261,46 @@ def iceberg_ddl() -> dict[str, str]:
             " shard int, bitset binary, n_items bigint, updated_wave int)"
             " USING iceberg"
         ),
+        "pending_cars": (
+            "CREATE TABLE IF NOT EXISTS crawl.pending_cars ("
+            " phone_hash bigint, url string, host string,"
+            " discovery_rank bigint, title string, price_usd int,"
+            " odometer int, username string, image_url string,"
+            " image_id string, images_count int, car_number string,"
+            " car_vin string)"
+            " USING iceberg PARTITIONED BY (bucket(1024, phone_hash))"
+        ),
         "cars": (
             "CREATE TABLE IF NOT EXISTS crawl.cars ("
             " url string, title string, price_usd int, odometer int,"
             " username string, phone_number string, image_url string,"
-            " images_count int, car_number string, car_vin string,"
-            " datetime_found timestamp, discovery_rank bigint)"
+            " image_id string, images_count int, car_number string,"
+            " car_vin string, datetime_found timestamp, host string,"
+            " discovery_rank bigint)"
             " USING iceberg PARTITIONED BY (bucket(1024, url))"
+        ),
+        "car_images": (
+            "CREATE TABLE IF NOT EXISTS crawl.car_images ("
+            " image_id string, url string, w int, h int, decoded_w int,"
+            " decoded_h int, phash bigint, decoded_phash bigint,"
+            " image_ok boolean, caption string, verified_wave int)"
+            " USING iceberg PARTITIONED BY (bucket(1024, image_id))"
+        ),
+        "saved_hashes": (
+            "CREATE TABLE IF NOT EXISTS crawl.saved_hashes ("
+            " url_hash bigint)"
+            " USING iceberg PARTITIONED BY (bucket(4096, url_hash))"
+        ),
+        "host_state": (
+            "CREATE TABLE IF NOT EXISTS crawl.host_state ("
+            " host string, cars_discovered bigint,"
+            " pagination_done boolean)"
+            " USING iceberg"
         ),
         "metrics": (
             "CREATE TABLE IF NOT EXISTS crawl.metrics ("
-            " wave int, partition_id int, kind string, fetched bigint,"
-            " parsed bigint, errors bigint, enqueued bigint, skipped bigint,"
-            " frontier_offset bigint, filter_shard_version int, ts timestamp)"
+            " wave int, partition_id int, kind string, metric string,"
+            " value bigint)"
             " USING iceberg"
         ),
     }

@@ -34,6 +34,18 @@ def test_car_payload_matches_json_payload_for_every_variant():
             assert got is not None and got["image_id"] == cf["image_id"]
 
 
+def test_text_is_document_ordered():
+    """Node.text() must interleave direct chunks with child subtrees in
+    document order (BeautifulSoup get_text semantics): real pages wrap
+    icons inside seller names / deleted notices."""
+    from auto_ria_spark.functions.html_extract import parse_html
+
+    root = parse_html("<div>a<span>b</span>c<i>d</i>e</div>")
+    assert root.text() == "abcde"
+    nested = parse_html("<p>x<b>y<u>z</u>w</b>v</p>")
+    assert nested.text() == "xyzwv"
+
+
 def test_listing_payload_dom_order_and_metadata():
     n = 50
     row = worldgen.listing_page_row(0, n, 0, 25, fmt="html")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from auto_ria_spark.sources.warehouse import Warehouse, cleanup_old_dumps
 from auto_ria_spark.streaming.schedule import fire_times, next_daily_fire
@@ -54,3 +55,34 @@ def test_daily_crontab_fires_dst_correct():
                for f in fires)
     # strictly-after semantics
     assert next_daily_fire(fires[0], 6, 0) == fires[1]
+
+
+def test_iceberg_ddl_matches_engine_schemas():
+    """The production DDL must accept the engine's frames column-for-column
+    (name, order, and type up to the spark<->iceberg long/bigint spelling)."""
+    from auto_ria_spark.plans import crawl as C
+    from auto_ria_spark.sources.warehouse import iceberg_ddl
+
+    engine = {
+        "frontier": C.FRONTIER_SCHEMA,
+        "seen_urls": C.SEEN_SCHEMA,
+        "pending_cars": C.PENDING_SCHEMA,
+        "cars": C.CARS_SCHEMA,
+        "car_images": C.CAR_IMAGES_SCHEMA,
+        "saved_hashes": C.SAVED_HASHES_SCHEMA,
+        "host_state": C.HOSTSTATE_SCHEMA,
+        "metrics": C.METRICS_SCHEMA,
+    }
+
+    def cols(schema: str) -> list[tuple[str, str]]:
+        out = []
+        for part in schema.split(","):
+            name, typ = part.strip().split(" ", 1)
+            out.append((name, {"long": "bigint"}.get(typ.strip(),
+                                                     typ.strip())))
+        return out
+
+    ddl = iceberg_ddl()
+    for table, schema in engine.items():
+        body = re.search(r"\((.*)\)\s*USING", ddl[table]).group(1)
+        assert cols(body) == cols(schema), table
