@@ -27,23 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
     exact-dedup fingerprint + MinHash signature digest + quality scores,
     one row per surviving document.
 
-    ONE scan of documents: the content hash, the map-side MinHash digest
-    (queries._minhash_arr — no explode, no signature shuffle) and the
-    quality measures are all per-row projections over the same frame;
-    the only exchange is the exact-dedup window on content_md5."""
+    The content hash and quality measures are per-row projections over
+    one documents frame, joined to the MinHash signature digest (the
+    codegen explode + 8-way min aggregate of queries._minhash_sig8);
+    the exchanges are the signature aggregation, the broadcast-free
+    doc_id join, and the exact-dedup window on content_md5."""
     from pyspark.sql import Window
 
     sf = "/root/testdata/sf0.001"
     d = Q.load(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     stop = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of", "and")))
-    rowed = Q._minhash_arr(d, extra=("text",)).select(
+    sig = Q._minhash_arr(d).select(
+        "doc_id", Q.minhash_digest("ms").alias("minhash_sig"))
+    rowed = d.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        Q.minhash_digest("ms").alias("minhash_sig"),
         F.size(toks).alias("n_tokens"),
         F.round(stop / F.size(toks), 4).alias("stopword_ratio"),
-    )
+    ).join(sig, "doc_id")
     w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
         rowed.withColumn("rn", F.row_number().over(w))

@@ -246,32 +246,49 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-_SHINGLE_EXPR = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-    " i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
-    " split(text, ' ')[i+1]))")
-_LONG_MAX = (1 << 63) - 1
+# shingles from a pre-split words array attribute ``ws`` — NEVER inline
+# split(text) inside the lambda: higher-order lambdas re-evaluate their
+# captured subexpressions per element, turning 3 inlined splits into an
+# O(n_words^2) per-document blowup (profiled: the dominant minhash cost).
+_SHINGLE_FROM_WS = (
+    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")
 _MINHASH_K = 8
 
 
-def _minhash_arr(d, extra: tuple = ()):
-    """Per-document k=8 MinHash signature as ``(doc_id, ms: array<long>)``,
-    computed ENTIRELY map-side: one projection builds the shingle array,
-    then k ``aggregate`` lambdas take the per-seed minimum in place.  No
-    explode, no shuffle — at 100 TB the old seeded-explode plan pushed
-    |shingles|×k rows through an exchange; this pushes zero.  Documents
-    with an empty shingle array produce no signature (explode semantics
-    preserved).  ``extra`` columns are carried through so callers can
-    fuse the signature into a wider single-scan pipeline."""
-    shdf = d.select("doc_id", *extra, F.expr(_SHINGLE_EXPR).alias("sh"))
-    mins = F.array(*[
-        F.expr(
-            f"aggregate(sh, {_LONG_MAX}L, (acc, s) -> least(acc,"
-            f" cast(conv(substring(md5(concat('{j}', ':', s)), 1, 15),"
-            f" 16, 10) as long)))")
+def _minhash_sig8(d):
+    """k=8 MinHash signature per document as 8 columns (m0..m7): shingle
+    explode + 8 hash columns + ONE groupBy with 8 ``min`` aggregates.
+
+    Seed family: h_j(s) = 32-bit hex slice j%4 of md5(s) for j<4, of
+    md5('x'||s) for j>=4 — TWO md5 evaluations per shingle yield all 8
+    independent seeds (md5's 128 bits = 4×32-bit slices; codegen common-
+    subexpression elimination computes each digest once), 4× less hashing
+    than an md5 per (shingle, seed).  All hashing runs in whole-stage
+    codegen, and partial (map-side) aggregation means the exchange
+    carries only |docs| rows of 8 longs — never |shingles|×k exploded
+    rows (the round-1 shape), and never an interpreted
+    ``aggregate``-lambda md5 per (shingle, seed) (the round-3 first
+    attempt — profiled ~6× slower than codegen at sf0.1)."""
+    wdf = d.select("doc_id", F.split("text", " ").alias("ws"))
+    sh = wdf.select("doc_id",
+                    F.explode(F.expr(_SHINGLE_FROM_WS)).alias("shingle"))
+    d1 = F.md5("shingle")
+    d2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
+    hashed = sh.select("doc_id", *[
+        F.conv(F.substring(d1 if j < 4 else d2, (j % 4) * 8 + 1, 8),
+               16, 10).cast("long").alias(f"h{j}")
         for j in range(_MINHASH_K)])
-    return (shdf.filter(F.size("sh") > 0)
-            .select("doc_id", *extra, mins.alias("ms")))
+    return hashed.groupBy("doc_id").agg(*[
+        F.min(f"h{j}").alias(f"m{j}") for j in range(_MINHASH_K)])
+
+
+def _minhash_arr(d):
+    """Per-document k=8 MinHash signature as ``(doc_id, ms: array<long>)``
+    (documents with no shingles produce no row — explode semantics)."""
+    return _minhash_sig8(d).select(
+        "doc_id",
+        F.array(*[F.col(f"m{j}") for j in range(_MINHASH_K)]).alias("ms"))
 
 
 def minhash_digest(ms_col: str = "ms"):
@@ -285,10 +302,10 @@ def minhash_digest(ms_col: str = "ms"):
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (k=8) over word 3-shingles — the near-dup
-    primitive.  h_j(s) = md5_long(j || ':' || s); signature = min per j.
-    Output rows are (doc_id, j, minhash); the signature itself is built
-    map-side (see _minhash_arr) and only posexploded — k rows per doc,
-    still no shuffle."""
+    primitive.  h_j(s) = 32-bit slice j%4 of md5(s) (j<4) / md5('x'||s)
+    (j>=4); signature = min per j (seed family: _minhash_sig8).
+    Output rows are (doc_id, j, minhash) — a posexplode of the 8-column
+    aggregate (_minhash_sig8), whose exchange carries |docs| rows only."""
     d = load(spark, sf_dir, "documents")
     return _minhash_arr(d).select(
         "doc_id", F.posexplode("ms").alias("j", "minhash"))
@@ -363,15 +380,20 @@ def q_simhash(spark, sf_dir):
     every word row ×64 through a groupBy — a 64× shuffle-row blowup this
     projection eliminates entirely."""
     d = load(spark, sf_dir, "documents")
-    harr = d.select(
-        "doc_id",
-        F.expr("transform(split(text, ' '), w ->"
-               " cast(conv(substring(md5(w), 1, 8), 16, 10) as long))")
+    # staged projections: split once, md5 once per word, slice twice —
+    # attribute boundaries stop lambda re-evaluation (see _SHINGLE_FROM_WS)
+    wdf = d.select("doc_id", F.split("text", " ").alias("ws"))
+    hdf = wdf.select(
+        "doc_id", F.size("ws").alias("nw"),
+        F.expr("transform(ws, w -> md5(w))").alias("hd"))
+    harr = hdf.select(
+        "doc_id", "nw",
+        F.expr("transform(hd, h ->"
+               " cast(conv(substring(h, 1, 8), 16, 10) as long))")
         .alias("hl"),
-        F.expr("transform(split(text, ' '), w ->"
-               " cast(conv(substring(md5(w), 9, 8), 16, 10) as long))")
-        .alias("hh"),
-        F.expr("size(split(text, ' '))").alias("nw"))
+        F.expr("transform(hd, h ->"
+               " cast(conv(substring(h, 9, 8), 16, 10) as long))")
+        .alias("hh"))
 
     def bit_term(arr: str, b: int, shift: int):
         cnt = F.expr(f"aggregate({arr}, 0L, (acc, h) ->"
@@ -820,10 +842,14 @@ _ORACLES: dict[str, str] = {
           SELECT doc_id, ws[i::INT] || ' ' || ws[i::INT + 1] || ' ' ||
                  ws[i::INT + 2] AS shingle
           FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+        ), sh2 AS (
+          SELECT doc_id, md5(shingle) AS d1, md5('x' || shingle) AS d2
+          FROM sh
         ), seeded AS (
           SELECT doc_id, j::INT AS j,
-                 ('0x' || substr(md5(j || ':' || shingle), 1, 15))::BIGINT AS h
-          FROM sh, unnest(generate_series(0, 7)) AS s(j)
+                 ('0x' || substr(CASE WHEN j < 4 THEN d1 ELSE d2 END,
+                                 (j % 4) * 8 + 1, 8))::BIGINT AS h
+          FROM sh2, unnest(generate_series(0, 7)) AS s(j)
         )
         SELECT doc_id, j, min(h) AS minhash FROM seeded GROUP BY doc_id, j
     """,
@@ -834,10 +860,14 @@ _ORACLES: dict[str, str] = {
           SELECT doc_id, ws[i::INT] || ' ' || ws[i::INT + 1] || ' ' ||
                  ws[i::INT + 2] AS shingle
           FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+        ), sh2 AS (
+          SELECT doc_id, md5(shingle) AS d1, md5('x' || shingle) AS d2
+          FROM sh
         ), seeded AS (
           SELECT doc_id, j::INT AS j,
-                 ('0x' || substr(md5(j || ':' || shingle), 1, 15))::BIGINT AS h
-          FROM sh, unnest(generate_series(0, 7)) AS s(j)
+                 ('0x' || substr(CASE WHEN j < 4 THEN d1 ELSE d2 END,
+                                 (j % 4) * 8 + 1, 8))::BIGINT AS h
+          FROM sh2, unnest(generate_series(0, 7)) AS s(j)
         ), sig AS (
           SELECT doc_id, j, min(h) AS minhash FROM seeded GROUP BY doc_id, j
         ), bands AS (
