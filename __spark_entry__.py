@@ -207,12 +207,73 @@ def _image_resize_oracle() -> str:
         resize_expected(_RESIZE_N, _RESIZE_W, _RESIZE_H), _RESIZE_COLS)
 
 
+_VIDEO_N, _VIDEO_FPV, _VIDEO_STRIDE = 12, 6, 2
+_VIDEO_COLS = [
+    ("video_id", "VARCHAR"), ("frame_index", "INTEGER"), ("w", "INTEGER"),
+    ("h", "INTEGER"), ("frame_md5", "VARCHAR"),
+]
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a deterministic FVID video corpus through the
+    mapInPandas stage (functions/multimodal.sample_frames); frames are
+    reported as md5 digests so the gate covers the extracted bytes.  The
+    VALUES oracle replays the container walk in pure Python."""
+    from auto_ria_spark.functions.multimodal import sample_frames
+    from auto_ria_spark.sources import worldgen
+    from auto_ria_spark.util import local_df
+
+    vids = local_df(spark, worldgen.video_rows(_VIDEO_N, _VIDEO_FPV),
+                    "video_id string, bytes binary")
+    return sample_frames(vids, every_n=_VIDEO_STRIDE).select(
+        "video_id", "frame_index", "w", "h",
+        F.md5("bytes").alias("frame_md5"))
+
+
+def _video_frames_oracle() -> str:
+    from auto_ria_spark.oracle import values_sql, video_frames_expected
+
+    return values_sql(
+        video_frames_expected(_VIDEO_N, _VIDEO_FPV, _VIDEO_STRIDE),
+        _VIDEO_COLS)
+
+
+_AUDIO_N, _AUDIO_SR = 16, 8_000
+_AUDIO_COLS = [
+    ("audio_id", "VARCHAR"), ("n_samples", "BIGINT"),
+    ("duration_s", "DOUBLE"), ("rms", "DOUBLE"), ("peak", "DOUBLE"),
+    ("zero_crossings", "BIGINT"),
+]
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 feature extraction over the deterministic audio clips
+    (functions/multimodal.pcm16_features) — exact doubles gated by a
+    VALUES oracle computed with the same reduction formulas."""
+    from auto_ria_spark.functions.multimodal import pcm16_features
+    from auto_ria_spark.sources import worldgen
+    from auto_ria_spark.util import local_df
+
+    clips = local_df(spark, worldgen.audio_rows(_AUDIO_N, _AUDIO_SR),
+                     "audio_id string, bytes binary")
+    return pcm16_features(clips, _AUDIO_SR)
+
+
+def _audio_features_oracle() -> str:
+    from auto_ria_spark.oracle import audio_features_expected, values_sql
+
+    return values_sql(
+        audio_features_expected(_AUDIO_N, _AUDIO_SR), _AUDIO_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(Q.queries())
     qs["crawl_e2e"] = _q_crawl_e2e
     qs["crawl_e2e_html"] = _q_crawl_e2e_html
     qs["corpus_verify"] = _q_corpus_verify
     qs["image_resize"] = _q_image_resize
+    qs["video_frames"] = _q_video_frames
+    qs["audio_features"] = _q_audio_features
     return qs
 
 
@@ -222,4 +283,6 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_e2e_html"] = _crawl_e2e_oracle()
     sqls["corpus_verify"] = _corpus_verify_oracle()
     sqls["image_resize"] = _image_resize_oracle()
+    sqls["video_frames"] = _video_frames_oracle()
+    sqls["audio_features"] = _audio_features_oracle()
     return sqls

@@ -303,6 +303,54 @@ def resize_expected(n_images: int, out_w: int, out_h: int,
     return out
 
 
+def video_frames_expected(n_videos: int, frames_per_video: int,
+                          every_n: int) -> list[dict]:
+    """Expected (video_id, frame_index, w, h, frame_md5) rows for the
+    frame-sampling driver gate: a pure-Python replay of the FVID container
+    walk + stride + decode-dims, independent of the Spark stage."""
+    import hashlib
+
+    from auto_ria_spark.functions import imaging
+    from auto_ria_spark.sources import worldgen
+
+    out = []
+    for v in range(n_videos):
+        for k in range(0, frames_per_video, every_n):
+            data = imaging.encode_png(
+                worldgen.gen_pixels(v * frames_per_video + k))
+            px = imaging.decode_image(data)
+            out.append({
+                "video_id": f"vid{v:05d}", "frame_index": k,
+                "w": px.shape[1], "h": px.shape[0],
+                "frame_md5": hashlib.md5(data).hexdigest(),
+            })
+    return out
+
+
+def audio_features_expected(n_clips: int, sample_rate: int) -> list[dict]:
+    """Expected PCM16 feature rows — same formulas as
+    functions.multimodal.pcm16_features over the worldgen clips (float
+    reductions use the identical numpy calls so doubles are
+    bit-reproducible)."""
+    import numpy as np
+
+    from auto_ria_spark.sources import worldgen
+
+    out = []
+    for aid, data in worldgen.audio_rows(n_clips, sample_rate):
+        x = np.frombuffer(data, np.int16).astype(np.float64) / 32768.0
+        n = len(x)
+        out.append({
+            "audio_id": aid, "n_samples": n,
+            "duration_s": n / sample_rate,
+            "rms": float(np.sqrt(np.mean(x * x))) if n else 0.0,
+            "peak": float(np.abs(x).max()) if n else 0.0,
+            "zero_crossings":
+                int(np.count_nonzero(np.diff(np.signbit(x)))),
+        })
+    return out
+
+
 def _sql_lit(v, typ: str) -> str:
     """One SQL literal, explicitly cast so DuckDB types are pinned."""
     if v is None:

@@ -101,6 +101,34 @@ CORPUS_SCHEMA = (
 )
 
 
+def video_rows(n_videos: int, frames_per_video: int = 6) -> list[tuple]:
+    """Deterministic video corpus: FVID containers of PNG-encoded
+    gen_pixels frames (video v holds global frames v*fpv .. v*fpv+fpv-1)
+    — the binary-column input for the frame-sampling driver gate."""
+    from auto_ria_spark.functions import multimodal
+
+    return [
+        (f"vid{v:05d}", multimodal.encode_fvid([
+            imaging.encode_png(gen_pixels(v * frames_per_video + k))
+            for k in range(frames_per_video)]))
+        for v in range(n_videos)
+    ]
+
+
+def audio_rows(n_clips: int, sample_rate: int = 8_000) -> list[tuple]:
+    """Deterministic PCM16 mono clips: clip *a* is a single sine at
+    (200 + 37a) Hz, amplitude 0.2 + 0.05*(a%5), length sr/2 + 100a
+    samples — varied duration/level/frequency, bit-reproducible."""
+    out = []
+    for a in range(n_clips):
+        n = sample_rate // 2 + a * 100
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        x = (0.2 + 0.05 * (a % 5)) * np.sin(2 * np.pi * (200.0 + 37.0 * a) * t)
+        pcm = np.round(x * 32767).astype(np.int16)
+        out.append((f"aud{a:05d}", pcm.tobytes()))
+    return out
+
+
 def corpus_df(spark, n_images: int, partitions: int = 32):
     """Distributed corpus generation (bench tier: 200k rows)."""
     import pandas as pd
