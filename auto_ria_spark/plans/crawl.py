@@ -142,6 +142,28 @@ def _verify_pixels(batches):
         yield pd.DataFrame(out, columns=cols)
 
 
+def _strip_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a localCheckpointed frame as a stats-free LogicalRDD over
+    the SAME (shared, cached) RDD.
+
+    A checkpoint stub carries its origin plan's sizeInBytes statistic;
+    Catalyst's size-only estimator MULTIPLIES child sizes through joins,
+    so chaining stubs wave-over-wave grows the BigInteger statistic's
+    bit-length geometrically — by the 8th wave the driver was measured
+    spending 95+ s inside BigInteger.multiplyToomCook3 under
+    SizeInBytesOnlyStatsPlanVisitor, an exponential planning-time
+    blowup.  Dropping origin stats resets each wave's leaves to
+    spark.sql.defaultSizeInBytes (constant per wave); AQE re-plans with
+    real runtime sizes, so join strategy quality is unaffected."""
+    try:
+        jdf = df._jdf
+        jds = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jds, df.sparkSession)
+    except Exception:  # pragma: no cover - non-classic (Connect) sessions
+        return df
+
+
 def _dedup_by_vin(cars: DataFrame) -> DataFrame:
     """Per-VIN dedup (lowest discovery rank wins), null VINs exempt.
 
@@ -197,6 +219,19 @@ class CrawlEngine:
         # checkpoint-consistency cut (TABLES) and rebuilt on resume instead
         self.t = {name: self.wh.table(name)
                   for name in (*TABLES, "saved_hashes")}
+        # async commit machinery: inside run() the table writes are pure
+        # DURABILITY (the next wave consumes in-memory pass-through state),
+        # so they fan out on this executor and overlap the next wave's
+        # driver-side planning; _drain_writes() enforces per-table commit
+        # order between waves and completeness at run() exit.
+        self._write_ex = None
+        self._write_futs: list = []
+        self._next_state: dict | None = None
+
+    def _drain_writes(self) -> None:
+        futs, self._write_futs = self._write_futs, []
+        for f in futs:
+            f.result()
 
     # ---------------------------------------------------------------- filters
     # The URL-seen filter is pluggable (cfg.seen_filter): Bloom shards are
@@ -449,7 +484,8 @@ class CrawlEngine:
                                mode="overwrite", tag=tag, num_files=1)
 
     # ------------------------------------------------------------------ wave
-    def run_wave(self, wave: int) -> WaveStats:
+    def run_wave(self, wave: int, state: dict | None = None,
+                 defer_commits: bool = False) -> WaveStats:
         """One BFS wave.  Job discipline (the 0.8-scaling-efficiency lever):
         stage results are LAZILY checkpointed (``localCheckpoint(eager=
         False)`` — truncates lineage so each downstream action re-analyzes
@@ -493,13 +529,24 @@ class CrawlEngine:
             _t[name] = round(now - _t.pop("_last", _t["start"]), 3)
             _t["_last"] = now
 
-        frontier = self._read("frontier", FRONTIER_SCHEMA)
-        seen = self._read("seen_urls", SEEN_SCHEMA)
-        filters = self.t["seen_filters"].read(spark,
-                                              schema=self._filter_schema())
-        pending = self._read("pending_cars", PENDING_SCHEMA)
-        saved_hashes = self._read("saved_hashes", SAVED_HASHES_SCHEMA)
-        host_state = self._read("host_state", HOSTSTATE_SCHEMA)
+        if state is not None:
+            # pass-through state from the previous wave: localCheckpointed
+            # in-memory frames identical row-for-row to what the async
+            # commits are writing — the wave never waits on parquet
+            frontier = state["frontier"]
+            seen = state["seen_urls"]
+            filters = state["seen_filters"]
+            pending = state["pending_cars"]
+            saved_hashes = state["saved_hashes"]
+            host_state = state["host_state"]
+        else:
+            frontier = self._read("frontier", FRONTIER_SCHEMA)
+            seen = self._read("seen_urls", SEEN_SCHEMA)
+            filters = self.t["seen_filters"].read(
+                spark, schema=self._filter_schema())
+            pending = self._read("pending_cars", PENDING_SCHEMA)
+            saved_hashes = self._read("saved_hashes", SAVED_HASHES_SCHEMA)
+            host_state = self._read("host_state", HOSTSTATE_SCHEMA)
 
         _mark("read_state")
         E = self._exprs()
@@ -624,22 +671,37 @@ class CrawlEngine:
             .localCheckpoint(eager=False))
         write_queue.append(("filters", "seen_filters", filters_next,
                             "overwrite", None))
-        pending_next = (
+        pending_next = self._warm(
             pending_all.join(resolved_hashes, "phone_hash", "left_anti")
             .join(dead_phones, "phone_hash", "left_anti")
-        )
+            .localCheckpoint(eager=False))
         write_queue.append(("pending", "pending_cars", pending_next,
                             "overwrite", nf))
+        host_state_next = self._warm(
+            host_state_next.localCheckpoint(eager=False))
         write_queue.append(("hoststate", "host_state", host_state_next,
                             "overwrite", 1))
         write_queue.append(("cars", "cars", saved_rows, "append", nf))
-        write_queue.append(("savedh", "saved_hashes",
-                            saved_rows.select(E["saved_hash_col"]),
+        saved_hash_rows = saved_rows.select(E["saved_hash_col"])
+        write_queue.append(("savedh", "saved_hashes", saved_hash_rows,
                             "append", 1))
         # stage V: validate each saved car's photo against the corpus
         write_queue.append(("imgs", "car_images",
                             self._verify_images(saved_rows, wave),
                             "append", nf))
+
+        # pass-through union states for the next wave (appended tables):
+        # a checkpoint stub per wave keeps lineage depth constant — but
+        # ONLY if each stub is actually materialized within its wave, so
+        # both are counted in the single stats job below (an
+        # unmaterialized lazy checkpoint still carries its full RDD DAG,
+        # and chains of them across drain waves were measured to blow the
+        # tail waves up ~40x)
+        seen_next_u = self._warm(
+            seen.unionByName(seen_add).localCheckpoint(eager=False))
+        savedh_next_u = self._warm(
+            saved_hashes.unionByName(saved_hash_rows)
+            .localCheckpoint(eager=False))
 
         _mark("plan_state")
         # -- ONE combined stats action ------------------------------------------
@@ -652,8 +714,13 @@ class CrawlEngine:
         s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
         sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
+        # the union-state stubs ride along so the ONE job materializes
+        # (and caches) them — see the pass-through note above
+        sn_agg = seen_next_u.groupBy().agg(F.count("*").alias("sn_n"))
+        sh_agg = savedh_next_u.groupBy().agg(F.count("*").alias("sh_n"))
         stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
-                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg))
+                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg)
+                    .crossJoin(sn_agg).crossJoin(sh_agg))
 
         # metrics / per-partition lineage (off the same warm caches)
         wave_lit = F.lit(wave).alias("wave")
@@ -696,21 +763,44 @@ class CrawlEngine:
         if st.discovered == 0:
             skip.add("hoststate")
 
+        # pass-through state: on a skip (drain) wave the new frame is
+        # content-identical to the old one — pass the OLD (already
+        # materialized, already stats-stripped) frame so checkpoint
+        # chains can never form across sparse waves; every new frame is
+        # stats-stripped (see _strip_stats) to keep Catalyst's size
+        # statistics constant-size across waves
+        self._next_state = {
+            "frontier": _strip_stats(frontier_next),
+            "seen_urls": (seen if "seen" in skip
+                          else _strip_stats(seen_next_u)),
+            "seen_filters": (filters if "filters" in skip
+                             else _strip_stats(filters_next)),
+            "pending_cars": _strip_stats(pending_next),
+            "saved_hashes": (saved_hashes if "savedh" in skip
+                             else _strip_stats(savedh_next_u)),
+            "host_state": (host_state if "hoststate" in skip
+                           else _strip_stats(host_state_next)),
+        }
+
         def _timed(name, table, df, mode, nfi):
             t0 = _time.time()
             snap = self.t[table].write(df, mode, tag, nfi)
             _t[f"wt_{name}"] = round(_time.time() - t0, 3)
             return snap
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            futs = []
-            for args in write_queue:
-                if args[0] in skip:
-                    self.t[args[1]].retag(tag)
-                else:
-                    futs.append(ex.submit(_timed, *args))
-            for fut in futs:
-                fut.result()
+        # per-table commit ORDER across waves: the previous wave's commits
+        # must land before this wave's commits/retags touch the tables
+        self._drain_writes()
+        if self._write_ex is None:
+            self._write_ex = ThreadPoolExecutor(max_workers=8)
+        for args in write_queue:
+            if args[0] in skip:
+                self.t[args[1]].retag(tag)
+            else:
+                self._write_futs.append(self._write_ex.submit(_timed, *args))
+        if not defer_commits:
+            # standalone callers read the tables right after the wave
+            self._drain_writes()
         _mark("w_tables")
         warm_ex.shutdown(wait=False)
         _t.pop("_last", None); _t.pop("start", None)
@@ -1161,14 +1251,22 @@ class CrawlEngine:
             first = self.resume()
         stats: list[WaveStats] = []
         wave = first
-        while wave < first + max_waves:
-            st = self.run_wave(wave)
-            stats.append(st)
-            if stop_after_wave is not None and wave >= stop_after_wave:
-                break
-            if st.frontier_left == 0:
-                break
-            wave += 1
+        state = None
+        try:
+            while wave < first + max_waves:
+                st = self.run_wave(wave, state=state, defer_commits=True)
+                state = self._next_state
+                stats.append(st)
+                if stop_after_wave is not None and wave >= stop_after_wave:
+                    break
+                if st.frontier_left == 0:
+                    break
+                wave += 1
+        finally:
+            # durability barrier: every wave's commits are on disk before
+            # the run returns (callers read tables; a crash mid-flight
+            # resumes from the last complete wave as before)
+            self._drain_writes()
         return stats
 
     # ------------------------------------------------------------------ views
