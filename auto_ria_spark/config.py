@@ -71,6 +71,12 @@ class CrawlConfig:
     # robots gating on by default (engine addition per north_rule, C5)
     respect_robots: bool = True
 
+    # wave pipelining (run() only): pass state between waves as in-memory
+    # checkpoint stubs and commit tables asynchronously.  Wins when waves
+    # are small/driver-planning-bound (many-wave crawls); for mega-wave
+    # saturated regimes the table-read path can be preferable.
+    pipeline_waves: bool = True
+
     # fetch transport: "pagestore" joins the synthetic page-store world
     # (deterministic tests/bench), "http" issues real GETs from a reused
     # per-partition client (sources/fetch.http_fetched_frontier).  With

@@ -696,12 +696,15 @@ class CrawlEngine:
         # both are counted in the single stats job below (an
         # unmaterialized lazy checkpoint still carries its full RDD DAG,
         # and chains of them across drain waves were measured to blow the
-        # tail waves up ~40x)
-        seen_next_u = self._warm(
-            seen.unionByName(seen_add).localCheckpoint(eager=False))
-        savedh_next_u = self._warm(
-            saved_hashes.unionByName(saved_hash_rows)
-            .localCheckpoint(eager=False))
+        # tail waves up ~40x).  Built only when the caller consumes
+        # pass-through state — the union + count + cache is pure waste in
+        # the table-read (mega-wave) regime.
+        if defer_commits:
+            seen_next_u = self._warm(
+                seen.unionByName(seen_add).localCheckpoint(eager=False))
+            savedh_next_u = self._warm(
+                saved_hashes.unionByName(saved_hash_rows)
+                .localCheckpoint(eager=False))
 
         _mark("plan_state")
         # -- ONE combined stats action ------------------------------------------
@@ -714,13 +717,14 @@ class CrawlEngine:
         s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
         sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
-        # the union-state stubs ride along so the ONE job materializes
-        # (and caches) them — see the pass-through note above
-        sn_agg = seen_next_u.groupBy().agg(F.count("*").alias("sn_n"))
-        sh_agg = savedh_next_u.groupBy().agg(F.count("*").alias("sh_n"))
         stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
-                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg)
-                    .crossJoin(sn_agg).crossJoin(sh_agg))
+                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg))
+        if defer_commits:
+            # the union-state stubs ride along so the ONE job materializes
+            # (and caches) them — see the pass-through note above
+            sn_agg = seen_next_u.groupBy().agg(F.count("*").alias("sn_n"))
+            sh_agg = savedh_next_u.groupBy().agg(F.count("*").alias("sh_n"))
+            stats_df = stats_df.crossJoin(sn_agg).crossJoin(sh_agg)
 
         # metrics / per-partition lineage (off the same warm caches)
         wave_lit = F.lit(wave).alias("wave")
@@ -769,7 +773,7 @@ class CrawlEngine:
         # chains can never form across sparse waves; every new frame is
         # stats-stripped (see _strip_stats) to keep Catalyst's size
         # statistics constant-size across waves
-        self._next_state = {
+        self._next_state = None if not defer_commits else {
             "frontier": _strip_stats(frontier_next),
             "seen_urls": (seen if "seen" in skip
                           else _strip_stats(seen_next_u)),
@@ -1252,10 +1256,12 @@ class CrawlEngine:
         stats: list[WaveStats] = []
         wave = first
         state = None
+        pipeline = self.cfg.pipeline_waves
         try:
             while wave < first + max_waves:
-                st = self.run_wave(wave, state=state, defer_commits=True)
-                state = self._next_state
+                st = self.run_wave(wave, state=state,
+                                   defer_commits=pipeline)
+                state = self._next_state if pipeline else None
                 stats.append(st)
                 if stop_after_wave is not None and wave >= stop_after_wave:
                     break

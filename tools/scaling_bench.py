@@ -65,7 +65,11 @@ def run_crawl(world: str, cores: int, hosts: int, saturated: bool) -> None:
                       phone_budget=10**9 if saturated else 1000,
                       backoff_base_s=1,
                       wave_seconds=5, num_shards=max(cores, 16),
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8),
+                      # mega-wave regime: per-wave driver planning is
+                      # amortized, so the pipeline's pass-through caching
+                      # only costs memory/contention — read the tables
+                      pipeline_waves=not saturated)
     wh = f"/tmp/scaling_wh_{cores}"
     shutil.rmtree(wh, ignore_errors=True)
     eng = CrawlEngine(spark, wh, cfg, pages=pages, corpus=corpus)
