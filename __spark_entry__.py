@@ -127,6 +127,41 @@ def _q_crawl_e2e_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("discovery_rank")
 
 
+def _q_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness re-queue round-trip under the cuckoo seen-filter: full
+    crawl, mark the 3 lowest-ranked saved listings stale (recrawl()
+    deletes their rows + phone fingerprints and re-enqueues them under
+    their original ranks), run to drain again — the refreshed cars table
+    must be bit-identical to the original crawl's, so it shares
+    crawl_e2e's VALUES oracle.  Driver-gates the cuckoo deletion path
+    end-to-end (reference analogue: the 'listing updated, scrape again'
+    re-check, app/utils/db_utils.py:48-76)."""
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.plans.crawl import CrawlEngine
+    from auto_ria_spark.sources import worldgen
+
+    cfg = CrawlConfig(seen_filter="cuckoo",
+                      cuckoo_buckets_per_shard=1 << 10, **_E2E_CFG)
+    world = worldgen.build_world_local(*_E2E_WORLD)
+    pages = worldgen.pages_local_df(spark, world)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_recrawl_"),
+                      cfg, pages=pages)
+    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+    stale = [r.url for r in eng.cars_final()
+             .orderBy("discovery_rank").limit(3).collect()]
+    eng.recrawl(stale)
+    eng.run(seeds=None, max_waves=60)
+    return eng.cars_final().select(
+        "url", "title", "price_usd",
+        F.col("odometer").cast("string").alias("odometer"),
+        "username", "phone_number", "image_url", "image_id", "images_count",
+        "car_number", "car_vin",
+        F.unix_timestamp("datetime_found").cast("long")
+        .alias("datetime_found"),
+        "host", "discovery_rank",
+    ).orderBy("discovery_rank")
+
+
 _E2E_ORACLE_CACHE: list = []
 
 
@@ -270,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(Q.queries())
     qs["crawl_e2e"] = _q_crawl_e2e
     qs["crawl_e2e_html"] = _q_crawl_e2e_html
+    qs["crawl_recrawl"] = _q_crawl_recrawl
     qs["corpus_verify"] = _q_corpus_verify
     qs["image_resize"] = _q_image_resize
     qs["video_frames"] = _q_video_frames
@@ -281,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
     sqls = Q.oracle_sql()
     sqls["crawl_e2e"] = _crawl_e2e_oracle()
     sqls["crawl_e2e_html"] = _crawl_e2e_oracle()
+    sqls["crawl_recrawl"] = _crawl_e2e_oracle()
     sqls["corpus_verify"] = _corpus_verify_oracle()
     sqls["image_resize"] = _image_resize_oracle()
     sqls["video_frames"] = _video_frames_oracle()
