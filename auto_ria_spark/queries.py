@@ -361,6 +361,58 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir, max_iters: int = 25):
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash-LSH candidate-pair graph, labeled by the component's minimum
+    doc_id — the final step of a dedup pipeline (keep one representative
+    per component, drop the rest).
+
+    Spark plan: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in graph-diameter
+    rounds (near-dup clusters are shallow, so typically 2-4).  Each round
+    is ONE shuffle join + aggregate over the (tiny relative to corpus)
+    edge set, eagerly localCheckpointed so lineage stays constant; the
+    driver reads a single changed-count scalar per round.  At 100 TB this
+    is the standard alternating large-star/small-star shape — the edge
+    set after LSH banding + bucket caps is orders of magnitude smaller
+    than the corpus, and per-round cost is bounded by it.  The DuckDB
+    oracle computes the identical labels via a recursive reachability
+    CTE.  Isolated documents are their own component."""
+    pairs = q_lsh_candidate_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    d = load(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("component")) \
+        .localCheckpoint()
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels.select(F.col("doc_id").alias("src"),
+                                     F.col("component").alias("nc")), "src")
+            .groupBy("dst").agg(F.min("nc").alias("min_nb"))
+            .select(F.col("dst").alias("doc_id"), "min_nb")
+        )
+        new_labels = (
+            labels.join(nb, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("min_nb"), F.col("component")))
+                    .alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component")
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per document over word hashes (near-dup fingerprint).
 
@@ -1000,6 +1052,32 @@ _ORACLES: dict[str, str] = {
     """,
 }
 
+# dedup_components oracle: REUSE the lsh_candidate_pairs CTE chain
+# verbatim as a `pairs` CTE, then compute component labels by recursive
+# reachability (min reachable doc_id == the min-label fixed point the
+# Spark propagation converges to).
+_LSH_BODY = _ORACLES["lsh_candidate_pairs"].strip()
+assert _LSH_BODY.startswith("WITH ")
+_ORACLES["dedup_components"] = (
+    "WITH RECURSIVE "
+    + _LSH_BODY[len("WITH "):_LSH_BODY.index("SELECT DISTINCT")].rstrip()
+    .rstrip(")").rstrip() + "\n        ), pairs AS (\n          "
+    + _LSH_BODY[_LSH_BODY.index("SELECT DISTINCT"):].strip()
+    + """
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), walk(doc_id, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.doc_id, e.dst FROM walk w
+          JOIN edges e ON e.src = w.reach
+        )
+        SELECT doc_id, min(reach) AS component
+        FROM walk GROUP BY doc_id
+    """)
+
 
 def _bucket_sql(dim0: int) -> str:
     """DuckDB mirror of _sign_bucket (1-indexed list access)."""
@@ -1147,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "jaccard_near_dup": q_jaccard_near_dup,
         "cosine_topk": q_cosine_topk,

@@ -32,7 +32,8 @@ _TOTAL = int(os.environ.get("BENCH_CARS", str(int(200_000 * _SF_GUESS))))
 CARS_PER_HOST = max(_TOTAL // HOSTS, 20)
 
 HEADLINE = ["tpch_pricing", "nation_revenue", "dedup_exact",
-            "minhash_signatures", "lsh_candidate_pairs", "simhash",
+            "minhash_signatures", "lsh_candidate_pairs",
+            "dedup_components", "simhash",
             "cosine_topk", "ann_lsh_buckets", "ann_ivf_topk", "text_quality",
             "doc_fingerprint", "politeness_topk", "first_occurrence_dedup"]
 

@@ -55,6 +55,21 @@ def test_lsh_band_buckets_capped(spark):
     assert Q.q_lsh_candidate_pairs(spark, SF).count() > 0
 
 
+def test_dedup_components_pairs_share_labels(spark):
+    """Connected components over the LSH pair graph: every candidate
+    pair must land in the same component, every label is the component's
+    minimum member, and isolated docs label themselves."""
+    labels = {r.doc_id: r.component
+              for r in Q.q_dedup_components(spark, SF).collect()}
+    pairs = Q.q_lsh_candidate_pairs(spark, SF).collect()
+    assert pairs, "world should contain near-dup pairs"
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    assert all(c <= d for d, c in labels.items())
+    # labels are real members
+    assert all(c in labels for c in set(labels.values()))
+
+
 def test_jaccard_join_side_df_capped(spark):
     """No token entering the inverted-index self-join may have document
     frequency above the cap (the quadratic-blowup guard)."""
