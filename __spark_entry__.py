@@ -301,6 +301,85 @@ def _audio_features_oracle() -> str:
         audio_features_expected(_AUDIO_N, _AUDIO_SR), _AUDIO_COLS)
 
 
+_SESS_GAP_S = 1800
+_SESS_BATCHES = 4
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL STREAMING operator under the driver gate: gap
+    sessionization via applyInPandasWithState (streaming/stateful.py),
+    fed the events table as 4 time-ordered files -> 4 micro-batches
+    (maxFilesPerTrigger=1, ascending mtimes), so per-key state provably
+    carries across batch boundaries.  Emits CLOSED sessions; the DuckDB
+    oracle is a batch gaps-and-islands query that excludes each user's
+    final (still-open) session."""
+    import glob
+    import os
+    import shutil
+
+    from auto_ria_spark.streaming.stateful import (SESSION_SCHEMA,
+                                                   sessionize)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "value")
+    tsl = F.col("ts").cast("timestamp").cast("long")
+    qs = events.select(tsl.alias("t")).approxQuantile(
+        "t", [i / _SESS_BATCHES for i in range(1, _SESS_BATCHES)], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    base = 1_700_000_000
+    for i in range(_SESS_BATCHES):
+        chunk = events.filter((tsl > bounds[i]) & (tsl <= bounds[i + 1]))
+        tmp = tempfile.mkdtemp(prefix="sess_chunk_")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (base + i, base + i))  # ascending batch order
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    closed: list = []
+    q = (sessionize(stream, gap_s=_SESS_GAP_S)
+         .writeStream.outputMode("append")
+         .trigger(availableNow=True)
+         .foreachBatch(lambda df, _: closed.extend(df.collect()))
+         .start())
+    q.awaitTermination()
+    out = spark.createDataFrame(closed, schema=SESSION_SCHEMA)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESS_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM m
+    ), agg AS (
+      SELECT user_id, sess_id,
+             epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, sess_id
+    ), mx AS (
+      SELECT user_id, max(sess_id) AS last_id FROM agg GROUP BY user_id
+    )
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.sum_value
+    FROM agg a JOIN mx USING (user_id) WHERE a.sess_id <> mx.last_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(Q.queries())
     qs["crawl_e2e"] = _q_crawl_e2e
@@ -310,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["image_resize"] = _q_image_resize
     qs["video_frames"] = _q_video_frames
     qs["audio_features"] = _q_audio_features
+    qs["sessionize_events"] = _q_sessionize_events
     return qs
 
 
@@ -322,4 +402,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["image_resize"] = _image_resize_oracle()
     sqls["video_frames"] = _video_frames_oracle()
     sqls["audio_features"] = _audio_features_oracle()
+    sqls["sessionize_events"] = _SESSIONIZE_ORACLE
     return sqls
