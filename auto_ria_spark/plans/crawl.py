@@ -645,50 +645,81 @@ class CrawlEngine:
         write_queue: list[tuple] = []
 
         # -- next state ---------------------------------------------------------
+        # next-state plan construction fans out over FIVE driver threads:
+        # each branch is hundreds of py4j round trips that RELEASE the GIL
+        # while the JVM responds, so independent branches overlap — the
+        # sequential version was the single largest per-wave driver cost.
+        # (Branch bodies only BUILD plans; nothing executes here.  The
+        # union-state stubs — see the stats-job note below — are built
+        # only when the caller consumes pass-through state: the union +
+        # count + cache is pure waste in the table-read mega-wave regime.)
         pool = (
             frontier.unionByName(new_links).unionByName(next_pages)
             .unionByName(phone_rows)
         )
         fetched_hashes = fetched.select("url_hash")
-        frontier_next = (
-            pool.join(fetched_hashes, "url_hash", "left_anti")
-            .unionByName(requeue)
-        ).localCheckpoint(eager=False)
-        self._warm(frontier_next)
+
+        def b_frontier():
+            return self._warm(
+                pool.join(fetched_hashes, "url_hash", "left_anti")
+                .unionByName(requeue)
+                .localCheckpoint(eager=False))
+
+        def b_seen():
+            # seen_add feeds its table write, the filter build AND the
+            # pass-through union — checkpoint so it computes once
+            sa = self._warm(
+                new_links.unionByName(next_pages).unionByName(phone_rows)
+                .select(*E["seen_add_select"])
+                .unionByName(seen_only)
+                .localCheckpoint(eager=False))
+            fx = self._warm(
+                self._build_filters(sa, filters, wave)
+                .localCheckpoint(eager=False))
+            snu = (self._warm(
+                seen.unionByName(sa).localCheckpoint(eager=False))
+                if defer_commits else None)
+            return sa, fx, snu
+
+        def b_pending():
+            return self._warm(
+                pending_all.join(resolved_hashes, "phone_hash", "left_anti")
+                .join(dead_phones, "phone_hash", "left_anti")
+                .localCheckpoint(eager=False))
+
+        def b_host_saved():
+            hs = self._warm(host_state_next.localCheckpoint(eager=False))
+            shr = saved_rows.select(E["saved_hash_col"])
+            shu = (self._warm(
+                saved_hashes.unionByName(shr).localCheckpoint(eager=False))
+                if defer_commits else None)
+            return hs, shr, shu
+
+        def b_imgs():
+            # stage V: validate each saved car's photo against the corpus
+            return self._verify_images(saved_rows, wave)
+
+        with ThreadPoolExecutor(max_workers=5) as pex:
+            futs = [pex.submit(b) for b in
+                    (b_frontier, b_seen, b_pending, b_host_saved, b_imgs)]
+        frontier_next = futs[0].result()
+        seen_add, filters_next, seen_next_u = futs[1].result()
+        pending_next = futs[2].result()
+        host_state_next, saved_hash_rows, savedh_next_u = futs[3].result()
+        imgs_next = futs[4].result()
         write_queue.append(("frontier", "frontier", frontier_next,
                             "overwrite", nf))
-        # seen_add feeds BOTH its table write and the Bloom build — checkpoint
-        # so it computes once; warm both so the expensive filter merge runs
-        # concurrently with the driver planning the stats/metrics section
-        seen_add = self._warm(
-            new_links.unionByName(next_pages).unionByName(phone_rows)
-            .select(*E["seen_add_select"])
-            .unionByName(seen_only)
-            .localCheckpoint(eager=False))
         write_queue.append(("seen", "seen_urls", seen_add, "append", nf))
-        filters_next = self._warm(
-            self._build_filters(seen_add, filters, wave)
-            .localCheckpoint(eager=False))
         write_queue.append(("filters", "seen_filters", filters_next,
                             "overwrite", None))
-        pending_next = self._warm(
-            pending_all.join(resolved_hashes, "phone_hash", "left_anti")
-            .join(dead_phones, "phone_hash", "left_anti")
-            .localCheckpoint(eager=False))
         write_queue.append(("pending", "pending_cars", pending_next,
                             "overwrite", nf))
-        host_state_next = self._warm(
-            host_state_next.localCheckpoint(eager=False))
         write_queue.append(("hoststate", "host_state", host_state_next,
                             "overwrite", 1))
         write_queue.append(("cars", "cars", saved_rows, "append", nf))
-        saved_hash_rows = saved_rows.select(E["saved_hash_col"])
         write_queue.append(("savedh", "saved_hashes", saved_hash_rows,
                             "append", 1))
-        # stage V: validate each saved car's photo against the corpus
-        write_queue.append(("imgs", "car_images",
-                            self._verify_images(saved_rows, wave),
-                            "append", nf))
+        write_queue.append(("imgs", "car_images", imgs_next, "append", nf))
 
         # pass-through union states for the next wave (appended tables):
         # a checkpoint stub per wave keeps lineage depth constant — but
@@ -696,15 +727,7 @@ class CrawlEngine:
         # both are counted in the single stats job below (an
         # unmaterialized lazy checkpoint still carries its full RDD DAG,
         # and chains of them across drain waves were measured to blow the
-        # tail waves up ~40x).  Built only when the caller consumes
-        # pass-through state — the union + count + cache is pure waste in
-        # the table-read (mega-wave) regime.
-        if defer_commits:
-            seen_next_u = self._warm(
-                seen.unionByName(seen_add).localCheckpoint(eager=False))
-            savedh_next_u = self._warm(
-                saved_hashes.unionByName(saved_hash_rows)
-                .localCheckpoint(eager=False))
+        # tail waves up ~40x).
 
         _mark("plan_state")
         # -- ONE combined stats action ------------------------------------------
