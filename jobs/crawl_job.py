@@ -46,6 +46,22 @@ def main() -> None:
                     choices=["crawl", "price", "freshness"],
                     help="car-fetch scheduling priority (north-star "
                          "price/freshness generalization)")
+    ap.add_argument("--seen-filter", default="bloom",
+                    choices=["bloom", "cuckoo"],
+                    help="URL-seen filter; cuckoo supports in-place "
+                         "deletion for --recrawl")
+    ap.add_argument("--fetch-mode", default="pagestore",
+                    choices=["pagestore", "http"],
+                    help="http = real GETs from a reused per-partition "
+                         "client (set --http-endpoint for a gateway)")
+    ap.add_argument("--http-endpoint", default="",
+                    help="gateway origin for http mode; empty = GET the "
+                         "URL directly")
+    ap.add_argument("--recrawl", default="",
+                    help="comma-separated listing URLs to mark stale "
+                         "before the run (freshness re-queue; implies "
+                         "--resume true)")
+    ap.add_argument("--pipeline-waves", default="true")
     args = ap.parse_args()
 
     from auto_ria_spark.config import CrawlConfig
@@ -58,6 +74,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cores = int(spark.sparkContext.defaultParallelism)
 
+    if args.recrawl:
+        args.resume = "true"  # re-queue operates on the existing warehouse
     if args.fresh == "true" and args.resume != "true":
         shutil.rmtree(args.warehouse, ignore_errors=True)
 
@@ -73,14 +91,22 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions or max(cores, 8),
         payload_format=args.payload_format,
         order_mode=args.order_mode,
+        seen_filter=args.seen_filter,
+        fetch_mode=args.fetch_mode,
+        http_endpoint=args.http_endpoint,
+        pipeline_waves=args.pipeline_waves == "true",
     )
-    pages = worldgen.pages_df(
-        spark, args.hosts, args.cars_per_host, args.page_size,
-        partitions=max(cores, 8), fmt=args.payload_format,
-    ).cache()
-    pages.count()  # materialize the world before timing the crawl
+    pages = None
+    if args.fetch_mode == "pagestore":
+        pages = worldgen.pages_df(
+            spark, args.hosts, args.cars_per_host, args.page_size,
+            partitions=max(cores, 8), fmt=args.payload_format,
+        ).cache()
+        pages.count()  # materialize the world before timing the crawl
 
     eng = CrawlEngine(spark, args.warehouse, cfg, pages=pages)
+    if args.recrawl:
+        eng.recrawl([u for u in args.recrawl.split(",") if u])
     t0 = time.time()
     if args.resume == "true":
         stats = eng.run(seeds=None)
