@@ -35,7 +35,10 @@ def main() -> None:
         flags = {
             "pushed_filters": "PushedFilters: [" in plan
             and "PushedFilters: []" not in plan,
-            "codegen": "WholeStageCodegen" in plan,
+            # Spark 4 formatted explain marks codegen spans with
+            # "[codegen id : N]" (simple mode uses WholeStageCodegen)
+            "codegen": "WholeStageCodegen" in plan
+            or "codegen id" in plan,
             "broadcast_join": "BroadcastHashJoin" in plan,
             "python_row_udf": "BatchEvalPython" in plan,
             "arrow_pandas": "ArrowEvalPython" in plan or "MapInPandas" in plan
