@@ -15,11 +15,27 @@ from __future__ import annotations
 
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from auto_ria_spark import queries as Q
+
+
+@contextmanager
+def _shuffle_conf(spark: SparkSession, n: int):
+    """Right-size spark.sql.shuffle.partitions around an entry that
+    EXECUTES inside its callable (the crawl engines, the streaming
+    query): the harness session defaults to 200, which turns every tiny
+    state join into 200 near-empty tasks.  Restored on exit so sibling
+    entries see the session unchanged."""
+    old = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,10 +102,11 @@ def _q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = CrawlConfig(**_E2E_CFG)
     world = worldgen.build_world_local(*_E2E_WORLD)
-    pages = worldgen.pages_local_df(spark, world)
-    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_"), cfg,
-                      pages=pages)
-    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+    with _shuffle_conf(spark, cfg.shuffle_partitions):
+        pages = worldgen.pages_local_df(spark, world)
+        eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_"), cfg,
+                          pages=pages)
+        eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
     return eng.cars_final().select(
         "url", "title", "price_usd",
         F.col("odometer").cast("string").alias("odometer"),
@@ -112,10 +129,11 @@ def _q_crawl_e2e_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = CrawlConfig(payload_format="html", **_E2E_CFG)
     world = worldgen.build_world_local(*_E2E_WORLD, fmt="html")
-    pages = worldgen.pages_local_df(spark, world)
-    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_html_"), cfg,
-                      pages=pages)
-    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+    with _shuffle_conf(spark, cfg.shuffle_partitions):
+        pages = worldgen.pages_local_df(spark, world)
+        eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_e2e_html_"),
+                          cfg, pages=pages)
+        eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
     return eng.cars_final().select(
         "url", "title", "price_usd",
         F.col("odometer").cast("string").alias("odometer"),
@@ -143,14 +161,15 @@ def _q_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = CrawlConfig(seen_filter="cuckoo",
                       cuckoo_buckets_per_shard=1 << 10, **_E2E_CFG)
     world = worldgen.build_world_local(*_E2E_WORLD)
-    pages = worldgen.pages_local_df(spark, world)
-    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_recrawl_"),
-                      cfg, pages=pages)
-    eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
-    stale = [r.url for r in eng.cars_final()
-             .orderBy("discovery_rank").limit(3).collect()]
-    eng.recrawl(stale)
-    eng.run(seeds=None, max_waves=60)
+    with _shuffle_conf(spark, cfg.shuffle_partitions):
+        pages = worldgen.pages_local_df(spark, world)
+        eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="crawl_recrawl_"),
+                          cfg, pages=pages)
+        eng.run(seeds=worldgen.seed_rows(1), max_waves=60)
+        stale = [r.url for r in eng.cars_final()
+                 .orderBy("discovery_rank").limit(3).collect()]
+        eng.recrawl(stale)
+        eng.run(seeds=None, max_waves=60)
     return eng.cars_final().select(
         "url", "title", "price_usd",
         F.col("odometer").cast("string").alias("odometer"),
@@ -339,12 +358,13 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(events.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     closed: list = []
-    q = (sessionize(stream, gap_s=_SESS_GAP_S)
-         .writeStream.outputMode("append")
-         .trigger(availableNow=True)
-         .foreachBatch(lambda df, _: closed.extend(df.collect()))
-         .start())
-    q.awaitTermination()
+    with _shuffle_conf(spark, 8):
+        q = (sessionize(stream, gap_s=_SESS_GAP_S)
+             .writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .foreachBatch(lambda df, _: closed.extend(df.collect()))
+             .start())
+        q.awaitTermination()
     out = spark.createDataFrame(closed, schema=SESSION_SCHEMA)
     return out.select(
         "user_id",
