@@ -125,6 +125,36 @@ def test_golden_crawl_small_budget_same_result(spark, tmp_path):
     assert len(stats) > 5  # genuinely spread over many waves
 
 
+def test_golden_crawl_pipeline_off_same_result(spark, tmp_path):
+    """The table-read (mega-wave) regime — cfg.pipeline_waves=False —
+    must produce the identical crawl result as the pipelined default."""
+    cfg = _cfg(pipeline_waves=False)
+    eng, oracle, _ = run_both(spark, tmp_path, cfg, cars_per_host=60,
+                              page_size=20)
+    assert_match(eng, oracle)
+
+
+def test_strip_stats_resets_size_statistics(spark):
+    """_strip_stats must drop a checkpoint stub's origin sizeInBytes
+    (the BigInteger-blowup guard) while preserving rows and sharing the
+    cached RDD."""
+    from pyspark.sql import functions as F
+
+    from auto_ria_spark.plans.crawl import _strip_stats
+
+    df = (spark.range(1000)
+          .select("id", (F.col("id") * 2).alias("x"))
+          .localCheckpoint(eager=False))
+    stripped = _strip_stats(df)
+    orig = int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    new = int(stripped._jdf.queryExecution().optimizedPlan().stats()
+              .sizeInBytes())
+    assert new > orig  # origin stats gone -> default (huge)
+    assert stripped.count() == 1000
+    assert stripped.columns == df.columns
+
+
 def test_golden_crawl_cuckoo_filter(spark, tmp_path):
     """The cuckoo seen-filter is a drop-in for Bloom: identical crawl
     result (seen set, order, saved rows) under cfg.seen_filter='cuckoo'."""
