@@ -350,7 +350,7 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_SESS_BATCHES):
         chunk = events.filter((tsl > bounds[i]) & (tsl <= bounds[i + 1]))
         tmp = tempfile.mkdtemp(prefix="sess_chunk_")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        chunk.repartition(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dest = os.path.join(src, f"batch{i}.parquet")
         shutil.move(part, dest)

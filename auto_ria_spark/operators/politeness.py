@@ -109,36 +109,38 @@ def robots_gate(df: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop rows whose (host, path-prefix) a robots rule disallows.
 
     ``robots`` columns: host, path_prefix, allowed(boolean).  The most
-    specific (longest) matching prefix wins; no match => allowed.  The
-    rules table is tiny (per-host robots.txt digests) => broadcast join.
-    Applied BEFORE fetch and BEFORE seen-admission so disallowed URLs are
-    never fetched and never enter the seen set (north_rule / FIXTURES §5).
+    specific (longest) matching prefix wins (ties: lexicographic prefix,
+    then disallow-first — deterministic); no match => allowed.  Applied
+    BEFORE fetch and BEFORE seen-admission so disallowed URLs are never
+    fetched and never enter the seen set (north_rule / FIXTURES §5).
+
+    ZERO-shuffle plan: the tiny rules table pre-aggregates to ONE row per
+    host holding its rules sorted longest-prefix-first, broadcast-joins
+    1:1 on host (no row fan-out), and the verdict is a pure array
+    expression — ``filter`` the rule array on prefix match, take the
+    first element.  The gated frame is never exchanged (the previous
+    shape aggregated on every column of ``df`` — a full-width shuffle up
+    to 3x per wave).  ``__path`` is staged as a real column first so the
+    higher-order ``filter`` lambda captures an attribute, not a
+    re-evaluated parse expression.
     """
     if robots is None:
         return df
-    rules = F.broadcast(
-        robots.select(
-            F.col("host").alias("__rhost"),
-            F.col("path_prefix").alias("__rprefix"),
-            F.col("allowed").alias("__rallowed"),
-        )
-    )
     from auto_ria_spark.functions.urls import url_path
 
+    host_rules = F.broadcast(
+        robots.groupBy(F.col("host").alias("__rhost")).agg(
+            F.sort_array(F.collect_list(F.struct(
+                (-F.length("path_prefix")).alias("nl"),
+                F.col("path_prefix").alias("p"),
+                F.col("allowed").alias("a")))).alias("__rules")))
     joined = df.withColumn("__path", url_path(F.col("url_norm"))).join(
-        rules,
-        (F.col("host") == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("__rprefix")),
-        "left",
-    )
-    # longest matching prefix wins; rows with no match have null => allowed
-    verdict = joined.groupBy(*df.columns).agg(
-        F.max_by(
-            F.coalesce(F.col("__rallowed"), F.lit(True)),
-            F.coalesce(F.length("__rprefix"), F.lit(-1)),
-        ).alias("__allowed")
-    )
-    return verdict.filter(F.col("__allowed")).drop("__allowed")
+        host_rules, F.col("host") == F.col("__rhost"), "left")
+    matched = F.filter(
+        F.col("__rules"), lambda r: F.col("__path").startswith(r["p"]))
+    allowed = F.coalesce(
+        F.try_element_at(matched, F.lit(1))["a"], F.lit(True))
+    return joined.filter(allowed).drop("__path", "__rhost", "__rules")
 
 
 def salt_counts(df: DataFrame) -> DataFrame:

@@ -161,6 +161,15 @@ def _strip_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False)
         return DataFrame(jds, df.sparkSession)
     except Exception:  # pragma: no cover - non-classic (Connect) sessions
+        # the private-API path is version-sensitive: if a Spark upgrade
+        # breaks it, say so LOUDLY — silently returning df re-opens the
+        # geometric plan-stats blowup this function exists to stop (the
+        # pipelined-wave regression test asserts stub stats stay flat)
+        import warnings
+        warnings.warn(
+            "_strip_stats fell back to the unstripped frame (private "
+            "Spark API unavailable?) — pipelined waves may hit the "
+            "BigInteger plan-stats blowup", RuntimeWarning)
         return df
 
 
@@ -359,11 +368,21 @@ class CrawlEngine:
             filters_next = cuckoo.delete_cuckoo(
                 dead, filters, num_shards=cfg.num_shards,
                 n_buckets=cfg.cuckoo_buckets_per_shard, wave=w)
+            # per-shard commit: only shards holding deleted fingerprints
+            # are rewritten; the rest of the filter files are byte-reused
+            dead_shards = dead.select(
+                bloom.shard_of(F.col("url_hash"), cfg.num_shards)
+                .alias("shard")).distinct()
+            self.t["seen_filters"].write_sharded(
+                filters_next.join(F.broadcast(dead_shards), "shard",
+                                  "left_semi"),
+                "merge_shards", tag)
         else:
             # Bloom cannot delete: rebuild from the exact table (full
             # seen-set scan — the cost recrawl's cuckoo mode avoids)
             filters_next = self._build_filters(seen_next, None, wave=w)
-        self.t["seen_filters"].write(filters_next, "overwrite", tag)
+            self.t["seen_filters"].write_sharded(filters_next, "overwrite",
+                                                 tag)
         cars = self._read("cars", CARS_SCHEMA)
         cars_next = cars.join(
             F.broadcast(stale.select(F.col("url_norm").alias("url"))),
@@ -423,7 +442,10 @@ class CrawlEngine:
         self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=1)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=1)
         filters = self._build_filters(seen, None, wave=-1)
-        self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
+        # sharded seed write: one immutable file per shard, so later waves
+        # can commit touched shards only (merge_shards)
+        self.t["seen_filters"].write_sharded(filters, mode="overwrite",
+                                             tag=tag)
         for name, schema in (("pending_cars", PENDING_SCHEMA),
                              ("cars", CARS_SCHEMA),
                              ("car_images", CAR_IMAGES_SCHEMA),
@@ -470,7 +492,8 @@ class CrawlEngine:
         self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=nf)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=nf)
         filters = self._build_filters(seen, None, wave=-1)
-        self.t["seen_filters"].write(filters, mode="overwrite", tag=tag)
+        self.t["seen_filters"].write_sharded(filters, mode="overwrite",
+                                             tag=tag)
         hs = fr.groupBy("host").agg(
             F.max("discovery_rank").alias("cars_discovered"),
             F.lit(True).alias("pagination_done"))
@@ -710,8 +733,20 @@ class CrawlEngine:
         write_queue.append(("frontier", "frontier", frontier_next,
                             "overwrite", nf))
         write_queue.append(("seen", "seen_urls", seen_add, "append", nf))
-        write_queue.append(("filters", "seen_filters", filters_next,
-                            "overwrite", None))
+        # TOUCHED-shard-only filter commit: the pass-through state keeps
+        # the full merged filter frame, but the durable write re-serializes
+        # only shards that gained URLs this wave — untouched shards'
+        # parquet files are byte-reused by the merge_shards snapshot
+        # (Iceberg dynamic partition overwrite; at 4096 x 16-128 MiB
+        # shards the old all-shard overwrite was 64-512 GiB of write
+        # amplification per wave)
+        touched_shards = seen_add.select(
+            bloom.shard_of(F.col("url_hash"), cfg.num_shards).alias("shard")
+        ).distinct()
+        filters_touched = filters_next.join(
+            F.broadcast(touched_shards), "shard", "left_semi")
+        write_queue.append(("filters", "seen_filters", filters_touched,
+                            "merge_shards", None))
         write_queue.append(("pending", "pending_cars", pending_next,
                             "overwrite", nf))
         write_queue.append(("hoststate", "host_state", host_state_next,
@@ -811,7 +846,12 @@ class CrawlEngine:
 
         def _timed(name, table, df, mode, nfi):
             t0 = _time.time()
-            snap = self.t[table].write(df, mode, tag, nfi)
+            if mode == "merge_shards":
+                snap = self.t[table].write_sharded(df, mode, tag)
+                _t["filter_files_new"] = snap.get("files_new")
+                _t["filter_files_reused"] = snap.get("files_reused")
+            else:
+                snap = self.t[table].write(df, mode, tag, nfi)
             _t[f"wt_{name}"] = round(_time.time() - t0, 3)
             return snap
 
@@ -1038,7 +1078,11 @@ class CrawlEngine:
         E["kind_car"] = F.col("kind") == "car"
         E["kind_phone"] = F.col("kind") == "phone"
         E["status_ok"] = F.col("status_code") == 200
-        E["retryable"] = F.col("status_code").isin(429, 503)
+        # 599 = transport error (http mode): retryable like 429/503 — the
+        # reference retries ANY exception on a car page
+        # (app/scraper/autoria.py:72-73,184-191); one TCP reset must not
+        # permanently drop a listing
+        E["retryable"] = F.col("status_code").isin(429, 503, 599)
         E["s404"] = F.col("status_code") == 404
         E["backoff"] = F.coalesce(
             F.col("retry_after_s").cast("long"),
@@ -1056,11 +1100,11 @@ class CrawlEngine:
             F.count("*").alias("f_n"),
             F.sum(F.when(F.col("status_code") == 200, 1)
                   .otherwise(0)).alias("f_ok"),
-            F.sum(F.when(F.col("status_code").isin(429, 503)
+            F.sum(F.when(F.col("status_code").isin(429, 503, 599)
                          & (F.col("attempt") + 1 < cfg.max_attempts), 1)
                   .otherwise(0)).alias("f_requeued"),
             F.sum(F.when((F.col("status_code") == 404)
-                         | (F.col("status_code").isin(429, 503)
+                         | (F.col("status_code").isin(429, 503, 599)
                             & (F.col("attempt") + 1 >= cfg.max_attempts)),
                          1).otherwise(0)).alias("f_errors"),
         ]
@@ -1296,6 +1340,11 @@ class CrawlEngine:
             # the run returns (callers read tables; a crash mid-flight
             # resumes from the last complete wave as before)
             self._drain_writes()
+            # release the commit fan-out threads (bench/scaling loops build
+            # many engines per process); recreated lazily on the next run
+            if self._write_ex is not None:
+                self._write_ex.shutdown(wait=True)
+                self._write_ex = None
         return stats
 
     # ------------------------------------------------------------------ views

@@ -361,44 +361,55 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-def q_dedup_components(spark, sf_dir, max_iters: int = 25):
-    """Near-dup CLUSTER assignment: connected components over the
-    MinHash-LSH candidate-pair graph, labeled by the component's minimum
-    doc_id — the final step of a dedup pipeline (keep one representative
-    per component, drop the rest).
+def connected_components(labels, edges, max_iters: int = 25):
+    """Min-label connected components with POINTER JUMPING — the reusable
+    core of q_dedup_components.
 
-    Spark plan: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); converges in graph-diameter
-    rounds (near-dup clusters are shallow, so typically 2-4).  Each round
-    is ONE shuffle join + aggregate over the (tiny relative to corpus)
-    edge set, eagerly localCheckpointed so lineage stays constant; the
-    driver reads a single changed-count scalar per round.  At 100 TB this
-    is the standard alternating large-star/small-star shape — the edge
-    set after LSH banding + bucket caps is orders of magnitude smaller
-    than the corpus, and per-round cost is bounded by it.  The DuckDB
-    oracle computes the identical labels via a recursive reachability
-    CTE.  Isolated documents are their own component."""
-    pairs = q_lsh_candidate_pairs(spark, sf_dir)
-    half = pairs.select(F.col("doc_a").alias("src"),
-                        F.col("doc_b").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    d = load(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("component")) \
-        .localCheckpoint()
+    ``labels``: (doc_id, component) initialized component=doc_id;
+    ``edges``: DIRECTED (src, dst) — pass both directions for an
+    undirected graph.  Returns (labels, rounds).
+
+    Spark plan per round: (1) neighbor-min propagation — one shuffle join
+    + aggregate over the edge set; (2) a pointer-jumping shortcut —
+    component ids ARE node ids, so one self-join dereference
+    ``label(v) <- label(label(v))`` halves the remaining chain depth.
+    Propagation alone needs graph-DIAMETER rounds (a 1000-link near-dup
+    chain = 1000 shuffles); with the shortcut the loop converges in
+    O(log diameter) rounds — the same asymptotics as the alternating
+    large-star/small-star construction, with one extra (label-narrow)
+    join per round.  Each round is eagerly localCheckpointed so lineage
+    stays constant and the driver reads ONE changed-count scalar.
+
+    Raises RuntimeError if still unconverged after ``max_iters`` —
+    returning partial labels silently would mislabel components with no
+    signal (ADVICE r3)."""
+    labels = labels.localCheckpoint()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nb = (
             edges.join(labels.select(F.col("doc_id").alias("src"),
                                      F.col("component").alias("nc")), "src")
             .groupBy("dst").agg(F.min("nc").alias("min_nb"))
             .select(F.col("dst").alias("doc_id"), "min_nb")
         )
-        new_labels = (
+        prop = (
             labels.join(nb, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("component"),
                             F.coalesce(F.col("min_nb"), F.col("component")))
+                    .alias("component"))
+        )
+        # pointer jumping: dereference each label through the label table
+        # (component values are doc_ids, so the join always lands; min is
+        # monotone, so the dereferenced label can only be <=)
+        deref = prop.select(F.col("doc_id").alias("component"),
+                            F.col("component").alias("__cc"))
+        new_labels = (
+            prop.join(deref, "component", "left")
+            .select("doc_id",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("__cc"), F.col("component")))
                     .alias("component"))
         ).localCheckpoint()
         changed = (
@@ -409,8 +420,36 @@ def q_dedup_components(spark, sf_dir, max_iters: int = 25):
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("doc_id", "component")
+            return labels.select("doc_id", "component"), rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component labels would be WRONG; raise max_iters (convergence is "
+        "O(log diameter) with pointer jumping, so this indicates a "
+        "pathological graph or a bug)")
+
+
+def q_dedup_components(spark, sf_dir, max_iters: int = 25):
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash-LSH candidate-pair graph, labeled by the component's minimum
+    doc_id — the final step of a dedup pipeline (keep one representative
+    per component, drop the rest).
+
+    The iteration core (``connected_components``) is min-label
+    propagation + pointer jumping — O(log diameter) rounds, each bounded
+    by the capped LSH edge set (orders of magnitude smaller than the
+    corpus after banding + bucket caps).  The DuckDB oracle computes the
+    identical labels via a recursive reachability CTE.  Isolated
+    documents are their own component."""
+    pairs = q_lsh_candidate_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    d = load(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    out, _ = connected_components(labels, edges, max_iters=max_iters)
+    return out
 
 
 def q_simhash(spark, sf_dir):
@@ -662,51 +701,106 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-_IVF_K = 8          # coarse-quantizer cells (deterministic seed centroids)
 _IVF_N_QUERIES = 30
+_IVF_ITERS = 2       # fixed Lloyd iterations (seeded init => deterministic)
+_IVF_CELL_CAP = 128  # per-cell candidate bound (mirrors _ANN_BUCKET_CAP)
+
+
+def ivf_cells(spark, sf_dir):
+    """Production-shape IVF coarse quantizer: LLOYD'S K-MEANS with
+    K ∝ √N cells, seeded deterministic init (the first K vectors), and a
+    fixed iteration count — returns (vq, cells, K) where ``cells`` maps
+    every vec_id to exactly one cell.
+
+    EXACT-ARITHMETIC design (the oracle contract): embeddings quantize
+    to integer-valued doubles (round(x·1000)); centroids are kept as
+    (component-sum vector ``sv``, member count ``n``) instead of means,
+    so the assignment distance compares n²·d² = n²·(q·q) + (sv·sv) −
+    2n·(q·sv) divided by n² — every term is an integer below 2^53, every
+    double op is exact, and Spark and DuckDB produce bit-identical
+    assignments regardless of aggregation order.  Cluster plan: K
+    centroid rows broadcast to an N×K map-side assignment (no shuffle on
+    the vector side); the update is a posexplode + (cell, dim) partial
+    aggregate — the standard distributed-k-means shape.  Empty cells
+    keep their previous centroid."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    n_total = e.count()
+    k = max(4, math.isqrt(n_total))
+    vq = (
+        e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        .select("vec_id", "emb",
+                F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+                F.transform("emb", lambda x: F.round(x * 1000)).alias("qe"))
+        .withColumn("qq", _dot(F.col("qe"), F.col("qe")))
+    ).cache()
+
+    def assign(cents):
+        scored = vq.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cent_id",
+            ((F.col("n") * F.col("n") * F.col("qq") + F.col("ss")
+              - 2 * F.col("n") * _dot(F.col("qe"), F.col("sv")))
+             / (F.col("n") * F.col("n"))).alias("score"))
+        w_cell = Window.partitionBy("vec_id").orderBy("score", "cent_id")
+        return (scored.withColumn("rn", F.row_number().over(w_cell))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", F.col("cent_id").alias("cell")))
+
+    cents = vq.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("sv"),
+        F.lit(1.0).alias("n"), F.col("qq").alias("ss"))
+    for _ in range(_IVF_ITERS):
+        cells = assign(cents)
+        joined = cells.join(vq.select("vec_id", "qe"), "vec_id")
+        sv_new = (
+            joined.select("cell", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cell", "pos").agg(F.sum("v").alias("s"))
+            .groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda p: p["s"]).alias("sv1")))
+        n_new = joined.groupBy("cell").agg(
+            F.count("*").cast("double").alias("n1"))
+        upd = (cents.join(sv_new.withColumnRenamed("cell", "cent_id"),
+                          "cent_id", "left")
+               .join(n_new.withColumnRenamed("cell", "cent_id"),
+                     "cent_id", "left"))
+        # K rows: eagerly checkpoint so each round's plan (and the final
+        # search plan) starts from a stub instead of nesting the whole
+        # k-means lineage (measured: 174 exchanges in the un-truncated
+        # final plan vs ~10 with per-round stubs)
+        cents = upd.select(
+            "cent_id",
+            F.coalesce(F.col("sv1"), F.col("sv")).alias("sv"),
+            F.coalesce(F.col("n1"), F.col("n")).alias("n"),
+        ).withColumn("ss", _dot(F.col("sv"), F.col("sv"))).localCheckpoint()
+    return vq, assign(cents).localCheckpoint(), k
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN — the coarse-quantizer alternative to sign-LSH: the
-    first ``_IVF_K`` vectors act as deterministic cell centroids (a fixed
-    seed assignment keeps the query SQL-expressible for the DuckDB
-    oracle; production would k-means them), every vector is assigned to
-    its max-cosine centroid, and each query searches ONLY its own cell —
-    candidate volume ~N/K per query, never all-pairs.  Exact cosine
-    top-3 within the cell."""
-    e = load(spark, sf_dir, "embeddings")
-    norms = e.select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    ).select("vec_id", "emb",
-             F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"))
-    cents = norms.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("ce"),
-        F.col("nrm").alias("cn"))
-    assign_scores = (
-        norms.crossJoin(F.broadcast(cents))   # N x K, broadcast centroids
-        .select("vec_id",
-                F.col("cent_id"),
-                F.round(_dot(F.col("emb"), F.col("ce"))
-                        / (F.col("nrm") * F.col("cn")), 6).alias("sim"))
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
-    cells = (
-        assign_scores.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-    member = norms.join(cells, "vec_id")
+    """IVF ANN over the k-means coarse quantizer (``ivf_cells``): each
+    query searches ONLY its own cell, and the per-cell candidate list is
+    capped at ``_IVF_CELL_CAP`` members (rank by vec_id — the
+    ``_ANN_BUCKET_CAP`` discipline), so candidate volume per query is
+    min(N/K, cap), never all-pairs.  Exact cosine top-3 within the cell
+    on the original double embeddings."""
+    vq, cells, _ = ivf_cells(spark, sf_dir)
+    member = vq.select("vec_id", "emb", "nrm").join(cells, "vec_id")
+    w_cap = Window.partitionBy("cell").orderBy("vec_id")
+    capped = (member.withColumn("__mr", F.row_number().over(w_cap))
+              .filter(F.col("__mr") <= _IVF_CELL_CAP).drop("__mr"))
     qside = member.filter(F.col("vec_id") < _IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell",
-        F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
-    cside = member.select(F.col("vec_id").alias("cand_id"), "cell",
+        F.col("emb").alias("qe2"), F.col("nrm").alias("qn"))
+    cside = capped.select(F.col("vec_id").alias("cand_id"), "cell",
                           F.col("emb").alias("ce2"),
                           F.col("nrm").alias("cn2"))
     scored = (
         qside.join(cside, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
-                F.round(_dot(F.col("qe"), F.col("ce2"))
+                F.round(_dot(F.col("qe2"), F.col("ce2"))
                         / (F.col("qn") * F.col("cn2")), 4).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cand_id"))
@@ -1168,31 +1262,81 @@ def _near_dup_oracle_sql() -> str:
 
 
 def _ivf_oracle_sql() -> str:
-    return f"""
-        WITH v AS (
+    """DuckDB mirror of the k-means IVF: the same seeded init, the same
+    ``_IVF_ITERS`` Lloyd iterations in the same exact integer-in-double
+    arithmetic (see ivf_cells — every term < 2^53, so aggregation order
+    cannot perturb a single bit), the same cell cap and search."""
+
+    def _score(c_alias: str) -> str:
+        return (f"({c_alias}.n*{c_alias}.n*vv.qq + {c_alias}.ss"
+                f" - 2*{c_alias}.n*list_dot_product(vv.qe, {c_alias}.sv))"
+                f" / ({c_alias}.n*{c_alias}.n)")
+
+    def _assign(name: str, cents: str) -> str:
+        return f"""
+        , {name} AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vv.vec_id, c.cent_id, {_score('c')} AS score
+            FROM vv CROSS JOIN {cents} c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score, cent_id) = 1
+        )"""
+
+    sql = """
+        WITH vq AS (
           SELECT vec_id, embedding::DOUBLE[] AS emb,
                  sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])) AS nrm
+                                       embedding::DOUBLE[])) AS nrm,
+                 list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1000)) AS qe
           FROM embeddings
-        ), c AS (
-          SELECT vec_id AS cent_id, emb AS ce, nrm AS cn
-          FROM v WHERE vec_id < {_IVF_K}
-        ), asg AS (
-          SELECT v.vec_id, c.cent_id,
-                 round(list_dot_product(v.emb, c.ce) / (v.nrm * c.cn), 6)
-                   AS sim
-          FROM v CROSS JOIN c
-        ), cells AS (
-          SELECT vec_id, cent_id AS cell FROM asg
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY sim DESC, cent_id) = 1
-        ), m AS (
-          SELECT v.*, cells.cell FROM v JOIN cells USING (vec_id)
+        ), vv AS (
+          SELECT vq.*, list_dot_product(qe, qe) AS qq FROM vq
+        ), kk AS (
+          SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cent_id, qe AS sv, 1.0 AS n, qq AS ss
+          FROM vv, kk WHERE vec_id < kk.k
+        )"""
+    for i in range(1, _IVF_ITERS + 1):
+        sql += _assign(f"asg{i}", f"c{i - 1}")
+        sql += f"""
+        , sums{i} AS (
+          SELECT a.cell, t.i::INT AS pos, SUM(vv.qe[t.i::INT]) AS s
+          FROM asg{i} a JOIN vv USING (vec_id),
+               unnest(generate_series(1, len(vv.qe))) AS t(i)
+          GROUP BY 1, 2
+        ), sv{i} AS (
+          SELECT cell, list(s ORDER BY pos) AS sv1 FROM sums{i}
+          GROUP BY cell
+        ), nn{i} AS (
+          SELECT cell, COUNT(*)::DOUBLE AS n1 FROM asg{i} GROUP BY cell
+        ), c{i} AS (
+          SELECT c.cent_id,
+                 COALESCE(s.sv1, c.sv) AS sv,
+                 COALESCE(n.n1, c.n) AS n,
+                 list_dot_product(COALESCE(s.sv1, c.sv),
+                                  COALESCE(s.sv1, c.sv)) AS ss
+          FROM c{i - 1} c
+          LEFT JOIN sv{i} s ON s.cell = c.cent_id
+          LEFT JOIN nn{i} n ON n.cell = c.cent_id
+        )"""
+    sql += _assign("cells", f"c{_IVF_ITERS}")
+    sql += f"""
+        , member AS (
+          SELECT vv.vec_id, vv.emb, vv.nrm, cells.cell
+          FROM vv JOIN cells USING (vec_id)
+        ), capped AS (
+          SELECT * FROM member
+          QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                  <= {_IVF_CELL_CAP}
         ), scored AS (
           SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
                  round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 4)
                    AS cos
-          FROM m q JOIN m t ON q.cell = t.cell AND q.vec_id <> t.vec_id
+          FROM member q JOIN capped t
+            ON q.cell = t.cell AND q.vec_id <> t.vec_id
           WHERE q.vec_id < {_IVF_N_QUERIES}
         )
         SELECT query_id, cand_id, cos,
@@ -1201,6 +1345,7 @@ def _ivf_oracle_sql() -> str:
         FROM scored
         QUALIFY rnk <= 3
     """
+    return sql
 
 
 _ORACLES["ann_lsh_buckets"] = _ann_oracle_sql()

@@ -125,8 +125,11 @@ def http_fetched_frontier(selected: DataFrame, *,
     URL directly (production).  429/503 responses surface the
     ``Retry-After`` header as ``retry_after_s`` so the frontier's
     (attempt, not_before) re-queue machinery drives retries identically
-    to the page-store path.  Transport errors map to status 599 (dropped
-    by the wave: not ok, not retryable, not 404)."""
+    to the page-store path.  Transport errors (connection reset, timeout,
+    DNS) map to status 599, which the wave treats as RETRYABLE — the same
+    (attempt+1, not_before) re-queue as 429/503, honoring max_attempts —
+    mirroring the reference's retry-any-exception loop on car pages
+    (reference: app/scraper/autoria.py:72-73,184-191)."""
     cols = cand_cols if cand_cols is not None else list(selected.columns)
     if cand_schema is None:
         cand_schema = ", ".join(
@@ -149,10 +152,20 @@ def http_fetched_frontier(selected: DataFrame, *,
                 target, headers={"User-Agent": ua})
             try:
                 with opener.open(req, timeout=timeout_s) as resp:
-                    return resp.status, resp.read().decode("utf-8"), None
+                    # errors="replace": a mis-declared charset must not
+                    # kill the task (the parse stage degrades per-field)
+                    return (resp.status,
+                            resp.read().decode("utf-8", errors="replace"),
+                            None)
             except urllib.error.HTTPError as e:
                 ra = e.headers.get("Retry-After")
-                return e.code, None, (int(ra) if ra else None)
+                try:
+                    # RFC 7231 allows an HTTP-date here — non-integer
+                    # values fall back to the frontier's base backoff
+                    ra_s = int(ra) if ra is not None else None
+                except (TypeError, ValueError):
+                    ra_s = None
+                return e.code, None, ra_s
             except Exception:
                 return 599, None, None
 

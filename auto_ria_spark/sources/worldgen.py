@@ -504,14 +504,25 @@ def pages_local_df(spark, world_rows: list[dict]):
     """
     import pandas as pd
 
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = pd.DataFrame(world_rows, columns=[
-        "url_norm", "kind", "host", "payload", "fail_503_times",
-        "retry_after"])
-    pdf["fail_503_times"] = pdf["fail_503_times"].astype("int32")
-    ra = pd.to_numeric(pdf["retry_after"], errors="coerce")
-    pdf["retry_after"] = ra.astype(object).where(ra.notna(), None)
-    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    _AK = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(_AK, None)
+    spark.conf.set(_AK, "true")
+    try:
+        pdf = pd.DataFrame(world_rows, columns=[
+            "url_norm", "kind", "host", "payload", "fail_503_times",
+            "retry_after"])
+        pdf["fail_503_times"] = pdf["fail_503_times"].astype("int32")
+        ra = pd.to_numeric(pdf["retry_after"], errors="coerce")
+        # Python ints (not 3.0 floats): the non-Arrow fallback's
+        # IntegerType verifier rejects floats
+        pdf["retry_after"] = ra.map(
+            lambda v: None if pd.isna(v) else int(v))
+        return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    finally:
+        if prev is None:
+            spark.conf.unset(_AK)
+        else:
+            spark.conf.set(_AK, prev)
 
 
 def seed_rows(n_hosts: int = 1) -> list[dict]:

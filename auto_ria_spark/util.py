@@ -31,15 +31,30 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     import pandas as pd
 
     # Ensure the Arrow fast path regardless of how the caller built the
-    # session (runtime-settable conf), and keep the non-Arrow fallback
-    # safe too: missing values in non-float columns must be object-dtype
-    # None, never float NaN — IntegerType's schema verifier rejects NaN.
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    st = StructType.fromDDL(schema)
-    pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
-    for f in st.fields:
-        col = pdf[f.name]
-        if f.dataType.typeName() not in ("double", "float") and \
-                col.isna().any():
-            pdf[f.name] = col.astype(object).where(col.notna(), None)
-    return spark.createDataFrame(pdf, schema=st)
+    # session (runtime-settable conf; restored after the build), and keep
+    # the non-Arrow fallback safe too: missing values in non-float columns
+    # must be object-dtype None, never float NaN — and integral columns
+    # that pandas widened to float64 must carry Python ints, not floats
+    # (IntegerType's schema verifier rejects both NaN and 3.0).
+    _AK = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(_AK, None)
+    spark.conf.set(_AK, "true")
+    try:
+        st = StructType.fromDDL(schema)
+        pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
+        integral = ("integer", "long", "short", "byte")
+        for f in st.fields:
+            col = pdf[f.name]
+            if f.dataType.typeName() not in ("double", "float") and \
+                    col.isna().any():
+                if f.dataType.typeName() in integral:
+                    pdf[f.name] = col.map(
+                        lambda v: None if pd.isna(v) else int(v))
+                else:
+                    pdf[f.name] = col.astype(object).where(col.notna(), None)
+        return spark.createDataFrame(pdf, schema=st)
+    finally:
+        if prev is None:
+            spark.conf.unset(_AK)
+        else:
+            spark.conf.set(_AK, prev)

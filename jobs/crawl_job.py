@@ -61,7 +61,8 @@ def main() -> None:
                     help="comma-separated listing URLs to mark stale "
                          "before the run (freshness re-queue; implies "
                          "--resume true)")
-    ap.add_argument("--pipeline-waves", default="true")
+    ap.add_argument("--pipeline-waves", default="true",
+                    choices=["true", "false"])
     args = ap.parse_args()
 
     from auto_ria_spark.config import CrawlConfig

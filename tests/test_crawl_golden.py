@@ -155,6 +155,42 @@ def test_strip_stats_resets_size_statistics(spark):
     assert stripped.columns == df.columns
 
 
+def test_strip_stats_stays_flat_across_chained_waves(spark):
+    """REGRESSION GUARD for the private-API path inside _strip_stats: a
+    Spark upgrade that silently disables it would re-open the geometric
+    BigInteger plan-stats blowup (95+ s/wave planning by wave 8).  Chain
+    N strip(join(checkpoint)) rounds — the pass-through wave shape — and
+    assert (a) the stub's sizeInBytes statistic stays CONSTANT-size
+    round-over-round, (b) the fallback warning never fired."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from auto_ria_spark.plans.crawl import _strip_stats
+
+    df = (spark.range(200)
+          .select(F.col("id").alias("url_hash"),
+                  (F.col("id") % 7).alias("v")))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # fallback => fail
+        cur = _strip_stats(df.localCheckpoint(eager=False))
+        digits = []
+        for _ in range(8):
+            grown = (cur.join(cur.select("url_hash"), "url_hash")
+                     .join(cur.select("url_hash"), "url_hash"))
+            nxt = _strip_stats(
+                grown.select("url_hash", "v").localCheckpoint(eager=False))
+            nxt.count()   # materialize the stub (the wave's stats job)
+            sz = (nxt._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+            digits.append(len(str(sz)))
+            cur = nxt
+    # without the strip the statistic's digit count grows geometrically
+    # (measured: thousands of digits by round 8); flat = guarded
+    assert max(digits) == min(digits), digits
+    assert cur.count() == 200
+
+
 def test_golden_crawl_cuckoo_filter(spark, tmp_path):
     """The cuckoo seen-filter is a drop-in for Bloom: identical crawl
     result (seen set, order, saved rows) under cfg.seen_filter='cuckoo'."""

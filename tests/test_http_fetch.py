@@ -31,9 +31,14 @@ CAR_FIELDS = ["url", "title", "price_usd", "odometer", "username",
 class _WorldServer:
     """Localhost origin serving a synthetic world at /{quote(url)}."""
 
-    def __init__(self, world_rows):
+    def __init__(self, world_rows, drop: dict[str, int] | None = None):
         self.world = {r["url_norm"]: r for r in world_rows}
         self.hits: dict[str, int] = {}
+        # transport-failure injection: first N requests to these URLs get
+        # the connection closed with NO response (the client sees a TCP
+        # reset -> the engine maps it to 599 and must re-queue)
+        self.drop = dict(drop or {})
+        self.dropped: dict[str, int] = {}
         self.lock = threading.Lock()
         outer = self
 
@@ -43,6 +48,12 @@ class _WorldServer:
 
             def do_GET(self):  # noqa: N802 - http.server contract
                 url = unquote(self.path.lstrip("/"))
+                with outer.lock:
+                    if outer.drop.get(url, 0) > 0:
+                        outer.drop[url] -= 1
+                        outer.dropped[url] = outer.dropped.get(url, 0) + 1
+                        self.close_connection = True
+                        return  # no status line -> RemoteDisconnected
                 row = outer.world.get(url)
                 if row is None:
                     self.send_response(404)
@@ -115,6 +126,42 @@ def test_golden_crawl_over_real_http(spark, tmp_path, world_server):
     assert retried, "world should contain transient-failure pages"
     for u in retried:
         assert srv.hits[u] == (srv.world[u]["fail_503_times"] or 0) + 1
+
+
+def test_transport_errors_retry_to_golden(spark, tmp_path):
+    """A flaky origin that DROPS connections (no HTTP response at all) on
+    the first attempts must still converge to the exact golden crawl:
+    transport failures map to 599 and re-queue through the same (attempt,
+    not_before) machinery as 429/503 — the reference retries ANY
+    exception on a car page (app/scraper/autoria.py:72-73,184-191)."""
+    world = worldgen.build_world_local(1, 60, 20)
+    flaky = {
+        worldgen.listing_url(0, 0): 2,                           # seed page
+        worldgen.car_page_row(0, 60, 3)["url_norm"]: 2,          # car page
+        worldgen.car_page_row(0, 60, 7)["url_norm"]: 1,
+    }
+    srv = _WorldServer(world, drop=dict(flaky))
+    try:
+        cfg = CrawlConfig(host_budget=50, phone_budget=50, backoff_base_s=1,
+                          wave_seconds=5, num_shards=4, shuffle_partitions=8,
+                          fetch_mode="http", http_endpoint=srv.endpoint,
+                          http_workers=4)
+        seeds = worldgen.seed_rows(1)
+        eng = CrawlEngine(spark, str(tmp_path / "wh_flaky"), cfg)
+        eng.run(seeds=seeds, max_waves=100)
+        oracle = crawl_oracle(world, seeds, cfg)
+        got_seen = {r.url_norm
+                    for r in eng.seen().select("url_norm").collect()}
+        assert got_seen == oracle.seen
+        got = {r["url"]: {f: r[f] for f in CAR_FIELDS}
+               for r in eng.cars_final().collect()}
+        exp = {c["url"]: {f: c[f] for f in CAR_FIELDS} for c in oracle.cars}
+        assert got == exp
+        # every injected drop was really exercised and then recovered
+        assert srv.dropped == flaky
+        assert all(v == 0 for v in srv.drop.values())
+    finally:
+        srv.close()
 
 
 def test_http_fetch_404_and_transport_errors(spark, world_server):

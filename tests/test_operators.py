@@ -104,6 +104,42 @@ def test_robots_gate_longest_prefix_wins(spark):
     assert kept == {"https://h/a/x", "https://other/a/private/x"}
 
 
+def test_robots_gate_never_shuffles_the_gated_frame(spark):
+    """Scale shape: the gated frame must flow through a broadcast join +
+    array-expression filter — the ONLY exchanges in the plan belong to
+    the tiny rules-side aggregation (one narrow hash + the broadcast),
+    never a hash/sort exchange of the gated rows (the previous shape
+    aggregated on every gated column, a full-width shuffle 3x/wave)."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), F.pmod("id", F.lit(3)),
+                 F.lit("/a/"), F.col("id")).alias("url_norm"),
+        F.concat(F.lit("h"), F.pmod("id", F.lit(3))).alias("host"),
+        F.xxhash64("id").alias("url_hash"))
+    robots = spark.createDataFrame(
+        [("h0", "/a", True), ("h0", "/a/private", False)],
+        schema="host string, path_prefix string, allowed boolean")
+    gated = robots_gate(df, robots)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gated.explain("formatted")
+    tree = buf.getvalue().split("(1)")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # exactly one hashpartitioning exchange — the rules-side groupBy(host)
+    assert tree.count("Exchange hashpartitioning") <= 1, tree
+    # and correctness is unchanged under the new shape
+    assert gated.count() == 1000  # /a allows everything here
+    robots2 = spark.createDataFrame(
+        [("h0", "/a", False)],
+        schema="host string, path_prefix string, allowed boolean")
+    blocked = robots_gate(df, robots2)
+    # all h0 rows (id % 3 == 0 -> 334 of 1000) are disallowed
+    assert blocked.count() == 1000 - 334
+
+
 # --------------------------------------------------------------- cuckoo
 def test_cuckoo_insert_probe_delete(spark):
     from auto_ria_spark.operators import cuckoo

@@ -5,6 +5,7 @@ value-equality gate."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from auto_ria_spark import queries as Q
@@ -70,6 +71,41 @@ def test_dedup_components_pairs_share_labels(spark):
     assert all(c in labels for c in set(labels.values()))
 
 
+def test_components_long_chain_converges_logarithmically(spark):
+    """Worst-case components graph: a 200-link CHAIN (diameter 200 — far
+    beyond any real near-dup cluster).  Plain min-label propagation needs
+    ~200 rounds; the pointer-jumping core must converge within O(log n)
+    rounds (<= 12 for n=200) and still produce exact min-labels."""
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"),
+                                  F.col("id").alias("component"))
+    half = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels, rounds = Q.connected_components(nodes, edges, max_iters=15)
+    assert rounds <= 12, f"chain of {n} took {rounds} rounds"
+    got = labels.agg(F.min("component"), F.max("component"),
+                     F.countDistinct("component")).first()
+    assert got == (0, 0, 1)          # one component, labeled by min id
+
+
+def test_components_unconverged_raises(spark):
+    """Exhausting max_iters must raise, never return partial labels
+    silently (a >max_iters-diameter graph would mislabel otherwise)."""
+    import pytest
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"),
+                                  F.col("id").alias("component"))
+    half = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        Q.connected_components(nodes, edges, max_iters=2)
+
+
 def test_jaccard_join_side_df_capped(spark):
     """No token entering the inverted-index self-join may have document
     frequency above the cap (the quadratic-blowup guard)."""
@@ -119,14 +155,37 @@ def test_vin_dedup_plan_routes_nulls_around_window(spark):
 
 
 def test_ivf_assigns_every_vector_to_one_cell(spark):
-    """IVF coarse quantizer: every vector lands in exactly one of the K
-    cells, and per-query search volume is the cell, never all-pairs."""
+    """k-means IVF coarse quantizer: every vector lands in exactly one of
+    the K ∝ √N cells, the per-cell CANDIDATE list is capped at
+    _IVF_CELL_CAP (the _ANN_BUCKET_CAP discipline), and per-query search
+    volume is min(cell, cap) — never all-pairs."""
+    import math
+
+    vq, cells, k = Q.ivf_cells(spark, SF)
+    n = vq.count()
+    assert k == max(4, math.isqrt(n))
+    # total assignment: every vector in exactly one cell
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    assert cells.select("cell").distinct().count() <= k
+    # k-means actually moved mass: more than one populated cell
+    assert cells.select("cell").distinct().count() > 1
     out = Q.q_ann_ivf_topk(spark, SF)
     assert out.filter(F.col("rnk") > 3).count() == 0
     assert out.count() > 0
     # one (query, cand) pair at most once
     assert (out.groupBy("query_id", "cand_id").count()
             .filter(F.col("count") > 1).count()) == 0
+    # candidate-side bound: no query can ever see more than the cap
+    per_cell = cells.groupBy("cell").count()
+    assert per_cell.count() >= 1
+    cand_bound = (
+        cells.withColumn(
+            "__r", F.row_number().over(
+                Window.partitionBy("cell").orderBy("vec_id")))
+        .filter(F.col("__r") <= Q._IVF_CELL_CAP))
+    assert (cand_bound.groupBy("cell").count()
+            .agg(F.max("count")).first()[0]) <= Q._IVF_CELL_CAP
 
 
 def test_brute_cosine_query_side_gated_in_code(spark):

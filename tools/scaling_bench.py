@@ -100,6 +100,49 @@ def run_crawl(world: str, cores: int, hosts: int, saturated: bool) -> None:
     spark.stop()
 
 
+def _ceiling_file(path: str) -> tuple[int, int]:
+    """Decode+phash every image of one corpus parquet part (no Spark)."""
+    import pyarrow.parquet as pq
+
+    from auto_ria_spark.functions import imaging
+
+    t = pq.read_table(path, columns=["bytes"])
+    n = ok = 0
+    for blob in t.column("bytes"):
+        n += 1
+        try:
+            px = imaging.decode_image(blob.as_py())
+            ok += int(imaging.phash64(px) is not None)
+        except Exception:
+            pass
+    return n, ok
+
+
+def run_ceiling(world: str, cores: int) -> None:
+    """BARE-METAL ceiling: the SAME decode+phash work as the crawl's
+    image-verify stage, run through a plain multiprocessing.Pool with NO
+    Spark — measures what this box can physically scale from N to 4N
+    processes that day.  Emitting it per-session puts the environment
+    control INSIDE the artifact: the engine's efficiency is judged
+    against the same-day ceiling, not a different session's box."""
+    import glob
+    import time
+    from multiprocessing import Pool
+
+    files = sorted(glob.glob(f"{world}/corpus/part-*.parquet"))
+    t0 = time.time()
+    with Pool(cores) as p:
+        parts = p.map(_ceiling_file, files)
+    dt = time.time() - t0
+    n = sum(a for a, _ in parts)
+    ok = sum(b for _, b in parts)
+    print(json.dumps({
+        "phase": "ceiling", "cores": cores, "seconds": round(dt, 2),
+        "images": n, "images_ok": ok,
+        "throughput_urls_per_sec": round(n / dt, 2),
+    }))
+
+
 def run_verify_only(world: str, cores: int) -> None:
     """Single-operator scaling: the corpus image-verification stage alone
     (decode + phash over Arrow batches) — the per-URL work component."""
@@ -140,11 +183,21 @@ def main() -> None:
                     help="standing-frontier regime: bulk-seed all car URLs")
     ap.add_argument("--verify-only", action="store_true",
                     help="single-operator mode: image verify stage alone")
+    ap.add_argument("--ceiling", default="true", choices=["true", "false"],
+                    help="also measure the same-day bare-metal (no-Spark) "
+                         "scaling ceiling and emit it in the summary")
+    ap.add_argument("--control-ref", default="",
+                    help="git ref of a PINNED prior binary to run as a "
+                         "same-session control (e.g. the round-2 commit); "
+                         "its throughputs ride along in the summary")
     args = ap.parse_args()
     cars_per_host = args.cars_total // args.hosts
 
     if args.phase == "gen":
         gen_world(args.out, args.hosts, cars_per_host)
+        return
+    if args.phase == "ceiling":
+        run_ceiling(args.out, args.run_cores)
         return
     if args.phase == "run":
         if args.verify_only:
@@ -159,25 +212,34 @@ def main() -> None:
                         "--out", args.out, "--hosts", str(args.hosts),
                         "--cars-total", str(args.cars_total)],
                        check=True, cwd=ROOT)
-    results = {}
-    for c in [int(x) for x in args.cores.split(",")]:
-        cmd = [sys.executable, __file__, "--phase", "run", "--out", args.out,
-               "--hosts", str(args.hosts), "--run-cores", str(c)]
-        if args.saturated:
-            cmd.append("--saturated")
-        if args.verify_only:
-            cmd.append("--verify-only")
-        p = subprocess.run(cmd, check=True, cwd=ROOT, capture_output=True,
-                           text=True)
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith('{"phase": "run"')][-1]
-        results[c] = json.loads(line)
-        print(line, flush=True)
+    cores_list = [int(x) for x in args.cores.split(",")]
 
+    def _run_levels(script: str, cwd: str, phase: str) -> dict:
+        out = {}
+        for c in cores_list:
+            cmd = [sys.executable, script, "--phase", phase,
+                   "--out", args.out, "--hosts", str(args.hosts),
+                   "--run-cores", str(c)]
+            if phase == "run" and args.saturated:
+                cmd.append("--saturated")
+            if phase == "run" and args.verify_only:
+                cmd.append("--verify-only")
+            p = subprocess.run(cmd, check=True, cwd=cwd,
+                               capture_output=True, text=True)
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith('{"phase"')][-1]
+            out[c] = json.loads(line)
+            print(line, flush=True)
+        return out
+
+    def _eff(res: dict) -> float:
+        cs = sorted(res)
+        lo, hi = cs[0], cs[-1]
+        return round((res[hi]["throughput_urls_per_sec"]
+                      / res[lo]["throughput_urls_per_sec"]) / (hi / lo), 3)
+
+    results = _run_levels(__file__, ROOT, "run")
     cs = sorted(results)
-    lo, hi = cs[0], cs[-1]
-    eff = (results[hi]["throughput_urls_per_sec"]
-           / results[lo]["throughput_urls_per_sec"]) / (hi / lo)
     summary = {
         "phase": "summary",
         "mode": ("verify_only" if args.verify_only
@@ -185,8 +247,45 @@ def main() -> None:
         "cores": cs,
         "throughput": {c: results[c]["throughput_urls_per_sec"] for c in cs},
         "seconds": {c: results[c]["seconds"] for c in cs},
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": _eff(results),
     }
+
+    if args.ceiling == "true":
+        # the environment control rides INSIDE the artifact: same-day
+        # bare-metal (no-Spark) scaling of the identical decode work
+        ceil = _run_levels(__file__, ROOT, "ceiling")
+        summary["bare_metal_ceiling"] = {
+            "throughput": {c: ceil[c]["throughput_urls_per_sec"]
+                           for c in sorted(ceil)},
+            "scaling_efficiency": _eff(ceil),
+        }
+        ce = summary["bare_metal_ceiling"]["scaling_efficiency"]
+        if ce > 0:
+            summary["efficiency_vs_same_day_ceiling"] = round(
+                summary["scaling_efficiency"] / ce, 3)
+
+    if args.control_ref:
+        # pinned prior-binary control in the same session, same world
+        import tempfile
+        ctl = tempfile.mkdtemp(prefix="scaling_ctl_")
+        try:
+            subprocess.run(["git", "worktree", "add", "--detach", ctl,
+                            args.control_ref], cwd=ROOT, check=True,
+                           capture_output=True)
+            ctl_script = os.path.join(ctl, "tools", "scaling_bench.py")
+            ctl_res = _run_levels(ctl_script, ctl, "run")
+            summary["control"] = {
+                "ref": args.control_ref,
+                "throughput": {c: ctl_res[c]["throughput_urls_per_sec"]
+                               for c in sorted(ctl_res)},
+                "scaling_efficiency": _eff(ctl_res),
+            }
+        except Exception as e:  # control is evidence, never a gate
+            summary["control"] = {"ref": args.control_ref,
+                                  "error": str(e)[:300]}
+        finally:
+            subprocess.run(["git", "worktree", "remove", "--force", ctl],
+                           cwd=ROOT, capture_output=True)
     print(json.dumps(summary))
 
 
