@@ -118,7 +118,7 @@ def _ceiling_file(path: str) -> tuple[int, int]:
     return n, ok
 
 
-def run_ceiling(world: str, cores: int) -> None:
+def run_ceiling(world: str, cores: int, max_files: int = 0) -> None:
     """BARE-METAL ceiling: the SAME decode+phash work as the crawl's
     image-verify stage, run through a plain multiprocessing.Pool with NO
     Spark — measures what this box can physically scale from N to 4N
@@ -130,6 +130,10 @@ def run_ceiling(world: str, cores: int) -> None:
     from multiprocessing import Pool
 
     files = sorted(glob.glob(f"{world}/corpus/part-*.parquet"))
+    if max_files:
+        # an efficiency RATIO needs identical work at both levels, not
+        # the full corpus — capping keeps the low-core leg affordable
+        files = files[:max_files]
     t0 = time.time()
     with Pool(cores) as p:
         parts = p.map(_ceiling_file, files)
@@ -186,6 +190,9 @@ def main() -> None:
     ap.add_argument("--ceiling", default="true", choices=["true", "false"],
                     help="also measure the same-day bare-metal (no-Spark) "
                          "scaling ceiling and emit it in the summary")
+    ap.add_argument("--ceiling-files", type=int, default=0,
+                    help="cap corpus parquet parts in the ceiling run "
+                         "(same work at both levels; 0 = all)")
     ap.add_argument("--control-ref", default="",
                     help="git ref of a PINNED prior binary to run as a "
                          "same-session control (e.g. the round-2 commit); "
@@ -197,7 +204,7 @@ def main() -> None:
         gen_world(args.out, args.hosts, cars_per_host)
         return
     if args.phase == "ceiling":
-        run_ceiling(args.out, args.run_cores)
+        run_ceiling(args.out, args.run_cores, args.ceiling_files)
         return
     if args.phase == "run":
         if args.verify_only:
@@ -224,6 +231,8 @@ def main() -> None:
                 cmd.append("--saturated")
             if phase == "run" and args.verify_only:
                 cmd.append("--verify-only")
+            if phase == "ceiling" and args.ceiling_files:
+                cmd += ["--ceiling-files", str(args.ceiling_files)]
             p = subprocess.run(cmd, check=True, cwd=cwd,
                                capture_output=True, text=True)
             line = [ln for ln in p.stdout.splitlines()
