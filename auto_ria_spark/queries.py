@@ -171,6 +171,56 @@ def q_vin_dedup(spark, sf_dir):
     )
 
 
+def q_robots_gate(spark, sf_dir):
+    """C5 robots gating (engine addition the north rule requires): the
+    zero-shuffle longest-prefix-wins gate (operators/politeness.robots_
+    gate — per-host sorted rule arrays, 1:1 broadcast join, array
+    verdict) over synthesized URLs; rules cover allow-under-prefix,
+    disallow-subtree, prefix-boundary ('/a/private' matching
+    '/a/privatex' — plain startswith, both engines), and rule-less
+    hosts defaulting to allowed.  The oracle recomputes the verdict with
+    a fan-out join + longest-prefix window."""
+    from auto_ria_spark.operators.politeness import robots_gate
+    from auto_ria_spark.util import local_df
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 10).cast("string"))
+    path = (
+        F.when(k % 5 == 0, F.concat(F.lit("/a/x"), k.cast("string")))
+        .when(k % 5 == 1, F.concat(F.lit("/a/private/x"), k.cast("string")))
+        .when(k % 5 == 2, F.concat(F.lit("/b/x"), k.cast("string")))
+        .when(k % 5 == 3, F.concat(F.lit("/c/priv/x"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/a/privatex"), k.cast("string"))))
+    df = o.select(
+        k.alias("okey"),
+        F.concat(F.lit("https://"), host, path).alias("url_norm"),
+        host.alias("host"))
+    rules = local_df(spark, [
+        ("h0", "/a", True), ("h0", "/a/private", False), ("h0", "/c", False),
+        ("h1", "/a", True), ("h1", "/a/private", False), ("h1", "/c", False),
+        ("h2", "/a", True), ("h2", "/a/private", False), ("h2", "/c", False),
+        ("h3", "/b", False),
+        ("h4", "/", True), ("h4", "/a/priv", False),
+    ], "host string, path_prefix string, allowed boolean")
+    return robots_gate(df, rules).select("okey", "url_norm", "host")
+
+
+def q_url_car_id(spark, sf_dir):
+    """P14 car_id from URL (reference: parsers/car_page.py:231-232) over
+    synthesized car-page URLs; every third row is a non-car URL, which
+    extracts to the empty string (the reference's miss path)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    car = F.concat(F.lit("https://auto.ria.test/auto_model"),
+                   (k % 7).cast("string"), F.lit("_"),
+                   (10000 + k).cast("string"), F.lit(".html"))
+    url = F.when(k % 3 == 0,
+                 F.lit("https://auto.ria.test/search/?page=1")).otherwise(car)
+    return o.select(k.alias("okey"), url.alias("url"),
+                    U.car_id_from_url(url).alias("car_id"))
+
+
 def q_crawl_metrics(spark, sf_dir):
     """A1 run-stats rollup (reference: autoria.py:354-358)."""
     e = load(spark, sf_dir, "events")
@@ -948,6 +998,54 @@ _ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY l_suppkey
                                    ORDER BY l_orderkey, l_linenumber) = 1
     """,
+    "robots_gate": """
+        WITH u AS (
+          SELECT o_orderkey AS okey,
+                 'h' || (o_orderkey % 10) AS host,
+                 CASE o_orderkey % 5
+                   WHEN 0 THEN '/a/x' || o_orderkey
+                   WHEN 1 THEN '/a/private/x' || o_orderkey
+                   WHEN 2 THEN '/b/x' || o_orderkey
+                   WHEN 3 THEN '/c/priv/x' || o_orderkey
+                   ELSE '/a/privatex' || o_orderkey END AS path
+          FROM orders
+        ), r(host, p, allowed) AS (
+          VALUES ('h0','/a',TRUE), ('h0','/a/private',FALSE),
+                 ('h0','/c',FALSE),
+                 ('h1','/a',TRUE), ('h1','/a/private',FALSE),
+                 ('h1','/c',FALSE),
+                 ('h2','/a',TRUE), ('h2','/a/private',FALSE),
+                 ('h2','/c',FALSE),
+                 ('h3','/b',FALSE),
+                 ('h4','/',TRUE), ('h4','/a/priv',FALSE)
+        ), j AS (
+          SELECT u.okey, u.host, u.path, r.p, r.allowed,
+                 COALESCE(length(r.p), -1) AS pl
+          FROM u LEFT JOIN r
+            ON u.host = r.host AND starts_with(u.path, r.p)
+        ), v AS (
+          SELECT okey, host, path, COALESCE(allowed, TRUE) AS a
+          FROM j
+          QUALIFY row_number() OVER (PARTITION BY okey
+                                     ORDER BY pl DESC, p) = 1
+        )
+        SELECT okey, 'https://' || host || path AS url_norm, host
+        FROM v WHERE a
+    """,
+    "url_car_id": """
+        WITH u AS (
+          SELECT o_orderkey AS okey,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN 'https://auto.ria.test/search/?page=1'
+                      ELSE 'https://auto.ria.test/auto_model'
+                           || (o_orderkey % 7) || '_'
+                           || (10000 + o_orderkey) || '.html' END AS url
+          FROM orders
+        )
+        SELECT okey, url,
+               regexp_extract(url, '/auto_\\w+_(\\d+)\\.html', 1) AS car_id
+        FROM u
+    """,
     "crawl_metrics": """
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value,
@@ -1363,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_anti_join": q_seen_anti_join,
         "politeness_topk": q_politeness_topk,
         "vin_dedup": q_vin_dedup,
+        "robots_gate": q_robots_gate,
+        "url_car_id": q_url_car_id,
         "crawl_metrics": q_crawl_metrics,
         "events_hourly": q_events_hourly,
         "tpch_pricing": q_tpch_pricing,
