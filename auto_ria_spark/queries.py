@@ -776,8 +776,6 @@ def ivf_cells(spark, sf_dir):
     import math
 
     e = load(spark, sf_dir, "embeddings")
-    n_total = e.count()
-    k = max(4, math.isqrt(n_total))
     vq = (
         e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
         .select("vec_id", "emb",
@@ -785,6 +783,9 @@ def ivf_cells(spark, sf_dir):
                 F.transform("emb", lambda x: F.round(x * 1000)).alias("qe"))
         .withColumn("qq", _dot(F.col("qe"), F.col("qe")))
     ).cache()
+    # one job: materializes the cache AND yields N for the K sizing
+    n_total = vq.count()
+    k = max(4, math.isqrt(n_total))
 
     def assign(cents):
         scored = vq.crossJoin(F.broadcast(cents)).select(

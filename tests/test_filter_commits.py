@@ -75,6 +75,25 @@ def test_bloom_filter_commits_touched_shards_only(spark, tmp_path):
     assert n_items == eng.seen().count()
 
 
+def test_snapshot_expiry_preserves_carried_shard_files(spark, tmp_path):
+    """Sharded commits SHARE files across snapshots (carry-forward);
+    expire_snapshots must never delete a file the CURRENT snapshot still
+    references, even when the snapshot that originally wrote it is
+    expired.  After expiry the filter table must read back whole."""
+    eng = _run(spark, tmp_path)
+    t = eng.t["seen_filters"]
+    before = t.current()["file_shards"]
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed >= 0
+    # every file the current snapshot references still exists on disk
+    for p in before:
+        assert os.path.exists(p), f"expiry deleted a live shard file: {p}"
+    flt = t.read(spark)
+    assert flt.count() == NUM_SHARDS
+    assert (flt.agg(F.sum("n_items")).first()[0]
+            == eng.seen().count())
+
+
 def test_cuckoo_filter_commits_touched_shards_only(spark, tmp_path):
     eng = _run(spark, tmp_path, seen_filter="cuckoo",
                cuckoo_buckets_per_shard=1 << 10)
