@@ -171,6 +171,11 @@ class SnapshotTable:
         snap["files_new"] = len(new)
         snap["files_reused"] = len(carried)
         try:
+            snap["bytes_new"] = sum(os.path.getsize(p) for p in new)
+            snap["bytes_reused"] = sum(os.path.getsize(p) for p in carried)
+        except OSError:  # pragma: no cover - fs race
+            snap["bytes_new"] = snap["bytes_reused"] = -1
+        try:
             import pyarrow.parquet as pq
 
             snap["rows"] = sum(

@@ -73,6 +73,17 @@ def test_bloom_filter_commits_touched_shards_only(spark, tmp_path):
     assert flt.count() == NUM_SHARDS
     n_items = flt.agg(F.sum("n_items")).first()[0]
     assert n_items == eng.seen().count()
+    # write-amplification evidence lands in the METRICS table: per wave,
+    # filter bytes_written covers touched shards only while bytes_reused
+    # carries the rest — at least one wave must show real reuse
+    m = {(r.wave, r.metric): r.value
+         for r in eng.metrics().filter(F.col("kind") == "filter").collect()}
+    waves = {w for (w, _) in m}
+    assert waves, "filter write metrics missing"
+    assert any(m[(w, "bytes_reused")] > 0 for w in waves)
+    for w in waves:
+        assert m[(w, "files_written")] + m[(w, "files_reused")] \
+            == NUM_SHARDS
 
 
 def test_snapshot_expiry_preserves_carried_shard_files(spark, tmp_path):
