@@ -455,13 +455,16 @@ def connected_components(labels, edges, max_iters: int = 25):
         # monotone, so the dereferenced label can only be <=)
         deref = prop.select(F.col("doc_id").alias("component"),
                             F.col("component").alias("__cc"))
+        # lazy checkpoint: the changed-count below is the round's ONE
+        # action — it materializes the stub, so each round costs a
+        # single Spark job instead of an eager-checkpoint job + a count
         new_labels = (
             prop.join(deref, "component", "left")
             .select("doc_id",
                     F.least(F.col("component"),
                             F.coalesce(F.col("__cc"), F.col("component")))
                     .alias("component"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
