@@ -852,12 +852,11 @@ class CrawlEngine:
             t0 = _time.time()
             if mode == "merge_shards":
                 snap = self.t[table].write_sharded(df, mode, tag)
-                _t["filter_files_new"] = snap.get("files_new")
-                _t["filter_files_reused"] = snap.get("files_reused")
                 # judged evidence: the per-wave filter WRITE volume must
                 # be touched-shards only — recorded into the metrics
                 # table at run() end (the write completes after this
-                # wave's metrics commit has already fired)
+                # wave's metrics commit has already fired, so the log —
+                # not the wave's detail dict — is the durable record)
                 self._filter_log.append(
                     (wave, snap.get("files_new", 0),
                      snap.get("files_reused", 0),

@@ -757,13 +757,32 @@ def q_embedding_near_dup(spark, sf_dir):
 _IVF_N_QUERIES = 30
 _IVF_ITERS = 2       # fixed Lloyd iterations (seeded init => deterministic)
 _IVF_CELL_CAP = 128  # per-cell candidate bound (mirrors _ANN_BUCKET_CAP)
+_IVF_TRAIN_PER_K = 256  # quantizer training-set bound: min(N, 256·K) rows
+
+
+def ivf_train_stride(n_total: int, k: int) -> int:
+    """Deterministic training-sample stride: the quantizer trains on
+    ``vec_id % s == 0`` rows, sized to ≈ min(N, _IVF_TRAIN_PER_K·K).
+    With K ∝ √N this caps Lloyd's per-iteration cost at O(256·K·K) =
+    O(256·N) distance evaluations instead of O(N·K) = O(N^1.5) — at
+    10^10 vectors the difference is ~400× per iteration.  Pure integer
+    arithmetic so the DuckDB oracle reproduces it exactly."""
+    return max(1, n_total // (_IVF_TRAIN_PER_K * k))
 
 
 def ivf_cells(spark, sf_dir):
     """Production-shape IVF coarse quantizer: LLOYD'S K-MEANS with
-    K ∝ √N cells, seeded deterministic init (the first K vectors), and a
-    fixed iteration count — returns (vq, cells, K) where ``cells`` maps
-    every vec_id to exactly one cell.
+    K ∝ √N cells, seeded deterministic init (the first K training
+    vectors), a fixed iteration count, and a BOUNDED training sample —
+    returns (vq, cells, K) where ``cells`` maps every vec_id to exactly
+    one cell.  ``vq`` is returned UNCACHED (cells is already
+    materialized); callers re-derive member columns from the scan.
+
+    Training-set bound (the FAISS discipline): Lloyd's iterations run
+    on the deterministic sample ``vec_id % s == 0`` with
+    ``s = max(1, N // (256·K))`` (``ivf_train_stride``), then ONE full
+    assignment pass maps all N vectors to their cell.  The stride
+    predicate is mirrored verbatim in the DuckDB oracle SQL.
 
     EXACT-ARITHMETIC design (the oracle contract): embeddings quantize
     to integer-valued doubles (round(x·1000)); centroids are kept as
@@ -771,11 +790,17 @@ def ivf_cells(spark, sf_dir):
     so the assignment distance compares n²·d² = n²·(q·q) + (sv·sv) −
     2n·(q·sv) divided by n² — every term is an integer below 2^53, every
     double op is exact, and Spark and DuckDB produce bit-identical
-    assignments regardless of aggregation order.  Cluster plan: K
-    centroid rows broadcast to an N×K map-side assignment (no shuffle on
-    the vector side); the update is a posexplode + (cell, dim) partial
-    aggregate — the standard distributed-k-means shape.  Empty cells
-    keep their previous centroid."""
+    assignments regardless of aggregation order.  That bound is now
+    ASSERTED at runtime (max cell size = N, max qq measured from the
+    data), not assumed.  Cluster plan (the FAISS shape): centroid state
+    is K driver-side rows (K·dim doubles — what any centroid broadcast
+    ships; at K ≳ 10^6 move the merge to a join); each assignment is a
+    ZERO-SHUFFLE Arrow mapInPandas kernel — one BLAS matmul + argmin
+    per batch against the broadcast centroid matrix; the centroid
+    update is a single fixed-width (count + per-dimension sum) partial
+    aggregate whose K result rows collect straight back to the driver —
+    ONE distributed job per iteration, one thin exchange inside it.
+    Empty cells keep their previous centroid (dict-merge semantics)."""
     import math
 
     e = load(spark, sf_dir, "embeddings")
@@ -786,50 +811,110 @@ def ivf_cells(spark, sf_dir):
                 F.transform("emb", lambda x: F.round(x * 1000)).alias("qe"))
         .withColumn("qq", _dot(F.col("qe"), F.col("qe")))
     ).cache()
-    # one job: materializes the cache AND yields N for the K sizing
-    n_total = vq.count()
+    # one job: materializes the cache AND yields N + max(qq) + the
+    # embedding dim for the K sizing, the exact-arithmetic guard and the
+    # fixed-width centroid-update aggregate
+    row = vq.groupBy().agg(F.count("*").alias("n"),
+                           F.max("qq").alias("max_qq"),
+                           F.max(F.size("qe")).alias("dim")).first()
+    n_total, max_qq, dim = row["n"], row["max_qq"] or 0.0, row["dim"] or 0
     k = max(4, math.isqrt(n_total))
+    # Exactness guard: every term of the assignment distance is an
+    # integer bounded by 2·N²·max(qq) — n²·qq ≤ N²·mq; ss = |sv|² ≤
+    # N²·mq (sv sums ≤ N quantized vectors); |2n·(qe·sv)| ≤
+    # 2N·√(mq)·√(ss) ≤ 2N²·mq (Cauchy-Schwarz) — so requiring
+    # N²·max(qq) < 2^52 keeps every term and every partial sum (in any
+    # summation order, BLAS included) below 2^53, where doubles are
+    # exact integers.  If the bound fails the bit-identical-to-DuckDB
+    # contract silently breaks, so fail LOUDLY instead (inputs this
+    # large need a smaller quantization scale or a per-cell n bound).
+    if n_total * n_total * max_qq >= 2.0 ** 52:
+        raise ValueError(
+            f"IVF exact-arithmetic bound violated: N²·max(qq) = "
+            f"{n_total * n_total * max_qq:.3e} ≥ 2^52; DuckDB-parity is "
+            "no longer guaranteed — reduce the quantization scale")
+    stride = ivf_train_stride(n_total, k)
+    vt = (vq.filter(F.col("vec_id") % stride == 0).cache()
+          if stride > 1 else vq)
 
-    def assign(cents):
-        scored = vq.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cent_id",
-            ((F.col("n") * F.col("n") * F.col("qq") + F.col("ss")
-              - 2 * F.col("n") * _dot(F.col("qe"), F.col("sv")))
-             / (F.col("n") * F.col("n"))).alias("score"))
-        w_cell = Window.partitionBy("vec_id").orderBy("score", "cent_id")
-        return (scored.withColumn("rn", F.row_number().over(w_cell))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", F.col("cent_id").alias("cell")))
+    import numpy as np
 
-    cents = vq.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("qe").alias("sv"),
-        F.lit(1.0).alias("n"), F.col("qq").alias("ss"))
+    def assign(vecs, cents, with_qe=False):
+        # FAISS-shape assignment: the K trained centroids (driver-side
+        # dict cent_id -> (sv, n, ss)) ride to executors as a numpy
+        # matrix inside an Arrow mapInPandas kernel: scores =
+        # (n²·qq + ss − 2n·(Q @ Cᵀ)) / n² via one BLAS matmul per batch,
+        # argmin per row — ZERO shuffle and vectorized, where the
+        # previous row_number-window / min_by-groupBy shapes paid a
+        # shuffle of N rows per round and evaluated N·K interpreted HOF
+        # dot products (measured as the bulk of the old 4 s wall).
+        # Exactness survives BLAS's blocked summation: every product and
+        # every partial sum is an integer whose magnitude stays under
+        # 2^53 (the 2^52 guard above), so any summation order yields the
+        # same double.  np.argmin takes the FIRST minimum and ids are
+        # sorted ascending — ties break to the lowest cent_id, matching
+        # the oracle's (score, cent_id) order.
+        ids = np.asarray(sorted(cents), dtype=np.int64)
+        C = np.asarray([cents[i][0] for i in ids], dtype=np.float64)
+        nn = np.asarray([cents[i][1] for i in ids], dtype=np.float64)
+        ssv = np.asarray([cents[i][2] for i in ids], dtype=np.float64)
+        n2 = nn * nn
+        out_schema = ("vec_id long, cell long"
+                      + (", qe array<double>" if with_qe else ""))
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.vstack(pdf["qe"].to_numpy())
+                qq = pdf["qq"].to_numpy(dtype=np.float64)
+                scores = (n2[None, :] * qq[:, None] + ssv[None, :]
+                          - 2.0 * nn[None, :] * (Q @ C.T)) / n2[None, :]
+                out = {"vec_id": pdf["vec_id"].to_numpy(),
+                       "cell": ids[np.argmin(scores, axis=1)]}
+                if with_qe:
+                    out["qe"] = pdf["qe"]
+                yield pd.DataFrame(out)
+
+        return vecs.select("vec_id", "qq", "qe").mapInPandas(
+            fn, schema=out_schema)
+
+    # seeded init: the first K training vectors — ONE tiny collect off
+    # the cached vq (centroid state lives on the driver between rounds;
+    # K·dim doubles, the same volume any centroid broadcast ships)
+    cents = {
+        r["vec_id"]: (list(r["qe"]), 1.0, r["qq"])
+        for r in vt.filter(F.col("vec_id") < k * stride)
+        .select("vec_id", "qe", "qq").collect()
+    }
     for _ in range(_IVF_ITERS):
-        cells = assign(cents)
-        joined = cells.join(vq.select("vec_id", "qe"), "vec_id")
-        sv_new = (
-            joined.select("cell", F.posexplode("qe").alias("pos", "v"))
-            .groupBy("cell", "pos").agg(F.sum("v").alias("s"))
-            .groupBy("cell").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda p: p["s"]).alias("sv1")))
-        n_new = joined.groupBy("cell").agg(
-            F.count("*").cast("double").alias("n1"))
-        upd = (cents.join(sv_new.withColumnRenamed("cell", "cent_id"),
-                          "cent_id", "left")
-               .join(n_new.withColumnRenamed("cell", "cent_id"),
-                     "cent_id", "left"))
-        # K rows: eagerly checkpoint so each round's plan (and the final
-        # search plan) starts from a stub instead of nesting the whole
-        # k-means lineage (measured: 174 exchanges in the un-truncated
-        # final plan vs ~10 with per-round stubs)
-        cents = upd.select(
-            "cent_id",
-            F.coalesce(F.col("sv1"), F.col("sv")).alias("sv"),
-            F.coalesce(F.col("n1"), F.col("n")).alias("n"),
-        ).withColumn("ss", _dot(F.col("sv"), F.col("sv"))).localCheckpoint()
-    return vq, assign(cents).localCheckpoint(), k
+        # ONE distributed job per Lloyd round: zero-shuffle assignment
+        # (qe rides through, constant per vec_id) into a fixed-width
+        # per-cell partial aggregate — count plus one SUM per dimension
+        # (dim is a data constant measured in the sizing job) — whose K
+        # result rows collect straight back into the driver-side state.
+        # Untouched dict keys ARE the empty-cell carry.
+        upd = (assign(vt, cents, with_qe=True)
+               .groupBy("cell").agg(
+                   F.count("*").cast("double").alias("n1"),
+                   F.array(*[F.sum(F.element_at("qe", i + 1))
+                             for i in range(dim)]).alias("sv1"))
+               .collect())
+        for r in upd:
+            sv1 = list(r["sv1"])
+            # ss = |sv|²: left-to-right sum of exact integer doubles
+            cents[r["cell"]] = (sv1, float(r["n1"]),
+                                sum(a * a for a in sv1))
+    # ONE full-N assignment pass against the trained centroids
+    cells = assign(vq, cents).select("vec_id", "cell").localCheckpoint()
+    # cells is materialized — release the cached working sets so repeated
+    # harness invocations don't accumulate storage for the session life
+    if stride > 1:
+        vt.unpersist()
+    vq.unpersist()
+    return vq, cells, k
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1365,26 +1450,33 @@ def _near_dup_oracle_sql() -> str:
 
 def _ivf_oracle_sql() -> str:
     """DuckDB mirror of the k-means IVF: the same seeded init, the same
-    ``_IVF_ITERS`` Lloyd iterations in the same exact integer-in-double
-    arithmetic (see ivf_cells — every term < 2^53, so aggregation order
-    cannot perturb a single bit), the same cell cap and search."""
+    deterministic training stride (``vec_id % s == 0`` with
+    ``s = max(1, N // (256·K))`` — ``ivf_train_stride``), the same
+    ``_IVF_ITERS`` Lloyd iterations over the SAMPLE in the same exact
+    integer-in-double arithmetic (see ivf_cells — every term < 2^53, so
+    aggregation order cannot perturb a single bit), then the same
+    full-set final assignment, cell cap and search.  The QUALIFY
+    row_number tie-break (score, cent_id) equals Spark's
+    min_by-on-struct(score, cent_id) ordering exactly because scores
+    are bit-identical."""
 
-    def _score(c_alias: str) -> str:
-        return (f"({c_alias}.n*{c_alias}.n*vv.qq + {c_alias}.ss"
-                f" - 2*{c_alias}.n*list_dot_product(vv.qe, {c_alias}.sv))"
-                f" / ({c_alias}.n*{c_alias}.n)")
+    def _score(c_alias: str, v_alias: str) -> str:
+        return (f"({c_alias}.n*{c_alias}.n*{v_alias}.qq + {c_alias}.ss"
+                f" - 2*{c_alias}.n*list_dot_product({v_alias}.qe,"
+                f" {c_alias}.sv)) / ({c_alias}.n*{c_alias}.n)")
 
-    def _assign(name: str, cents: str) -> str:
+    def _assign(name: str, cents: str, vecs: str) -> str:
         return f"""
         , {name} AS (
           SELECT vec_id, cent_id AS cell FROM (
-            SELECT vv.vec_id, c.cent_id, {_score('c')} AS score
-            FROM vv CROSS JOIN {cents} c)
+            SELECT {vecs}.vec_id, c.cent_id,
+                   {_score('c', vecs)} AS score
+            FROM {vecs} CROSS JOIN {cents} c)
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY score, cent_id) = 1
         )"""
 
-    sql = """
+    sql = f"""
         WITH vq AS (
           SELECT vec_id, embedding::DOUBLE[] AS emb,
                  sqrt(list_dot_product(embedding::DOUBLE[],
@@ -1395,19 +1487,24 @@ def _ivf_oracle_sql() -> str:
         ), vv AS (
           SELECT vq.*, list_dot_product(qe, qe) AS qq FROM vq
         ), kk AS (
-          SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+          SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k,
+                 COUNT(*) AS n
           FROM embeddings
+        ), st AS (
+          SELECT k, GREATEST(1, n // ({_IVF_TRAIN_PER_K} * k)) AS s FROM kk
+        ), vt AS (
+          SELECT vv.* FROM vv, st WHERE vec_id % st.s = 0
         ), c0 AS (
           SELECT vec_id AS cent_id, qe AS sv, 1.0 AS n, qq AS ss
-          FROM vv, kk WHERE vec_id < kk.k
+          FROM vt, st WHERE vec_id < st.k * st.s
         )"""
     for i in range(1, _IVF_ITERS + 1):
-        sql += _assign(f"asg{i}", f"c{i - 1}")
+        sql += _assign(f"asg{i}", f"c{i - 1}", "vt")
         sql += f"""
         , sums{i} AS (
-          SELECT a.cell, t.i::INT AS pos, SUM(vv.qe[t.i::INT]) AS s
-          FROM asg{i} a JOIN vv USING (vec_id),
-               unnest(generate_series(1, len(vv.qe))) AS t(i)
+          SELECT a.cell, t.i::INT AS pos, SUM(vt.qe[t.i::INT]) AS s
+          FROM asg{i} a JOIN vt USING (vec_id),
+               unnest(generate_series(1, len(vt.qe))) AS t(i)
           GROUP BY 1, 2
         ), sv{i} AS (
           SELECT cell, list(s ORDER BY pos) AS sv1 FROM sums{i}
@@ -1424,7 +1521,7 @@ def _ivf_oracle_sql() -> str:
           LEFT JOIN sv{i} s ON s.cell = c.cent_id
           LEFT JOIN nn{i} n ON n.cell = c.cent_id
         )"""
-    sql += _assign("cells", f"c{_IVF_ITERS}")
+    sql += _assign("cells", f"c{_IVF_ITERS}", "vv")
     sql += f"""
         , member AS (
           SELECT vv.vec_id, vv.emb, vv.nrm, cells.cell

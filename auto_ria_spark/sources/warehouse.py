@@ -147,6 +147,16 @@ class SnapshotTable:
         shard set (seed / rebuild).  On a real cluster this is
         ``INSERT OVERWRITE`` with dynamic partition overwrite (or MERGE
         on shard) into the shard-partitioned Iceberg table.
+
+        SINGLE-WRITER contract: ``merge_shards`` reads ``current()`` and
+        commits non-atomically, so two concurrent writers would each
+        carry forward the OTHER's pre-commit shard files and silently
+        drop the loser's new shards.  CrawlEngine satisfies this by
+        serializing all seen_filters commits through ``_drain_writes``
+        (one in-flight write per table, ordered across waves); any other
+        caller must provide equivalent external serialization.  Real
+        Iceberg enforces this with optimistic-concurrency commit retries
+        on the snapshot pointer.
         """
         sub = os.path.join(self.dir, "data", uuid.uuid4().hex)
         df.withColumn("__sd", df[shard_col].cast("int")) \

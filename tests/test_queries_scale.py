@@ -211,3 +211,53 @@ def test_simhash_is_full_64_bits(spark):
     assert row[0] > 0 and row[1] > 0
     # fingerprints differ across documents (not degenerate)
     assert out.select("simhash_hi", "simhash_lo").distinct().count() > 100
+
+
+def test_ivf_train_stride_caps_training_set():
+    """The quantizer's Lloyd iterations must train on a BOUNDED sample:
+    for any N (up to the 10^10 north rule) the stride keeps the training
+    set within 2·_IVF_TRAIN_PER_K·K rows, and degenerates to full-N only
+    when N ≤ _IVF_TRAIN_PER_K·K (where sampling would gain nothing)."""
+    import math
+
+    for n in (1, 500, 2_000, 262_144, 10**7, 10**10):
+        k = max(4, math.isqrt(n))
+        s = Q.ivf_train_stride(n, k)
+        assert s >= 1
+        n_train = n // s + (1 if s > 1 else 0)  # ids 0, s, 2s, ...
+        if n <= Q._IVF_TRAIN_PER_K * k:
+            assert s == 1
+        else:
+            assert s > 1
+            assert n_train <= 2 * Q._IVF_TRAIN_PER_K * k
+    # the north-rule point: at 10^10 vectors the per-iteration cost is
+    # O(train·K), ~stride× below the full-N O(N·K)
+    assert Q.ivf_train_stride(10**10, math.isqrt(10**10)) > 300
+
+
+def test_ivf_sample_training_matches_oracle_when_stride_binds(
+        spark, monkeypatch):
+    """Force the training stride to bind at test scale (shrink the
+    per-K budget) and prove the SAMPLE-trained quantizer still matches
+    the DuckDB oracle bit-for-bit — the stride predicate is mirrored in
+    the generated SQL, so both engines train on the same rows."""
+    import math
+
+    import duckdb
+
+    monkeypatch.setattr(Q, "_IVF_TRAIN_PER_K", 2)
+    n = Q.load(spark, SF, "embeddings").count()
+    k = max(4, math.isqrt(n))
+    stride = Q.ivf_train_stride(n, k)
+    assert stride > 1  # the point of the test
+    out = Q.q_ann_ivf_topk(spark, SF)
+    srows = sorted(
+        (r["query_id"], r["cand_id"], f"{r['cos']:.6f}", r["rnk"])
+        for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF}/embeddings.parquet'")
+    drows = sorted(
+        (q, c, f"{cos:.6f}", rnk)
+        for q, c, cos, rnk in con.execute(Q._ivf_oracle_sql()).fetchall())
+    assert srows == drows
