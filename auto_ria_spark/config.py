@@ -77,6 +77,14 @@ class CrawlConfig:
     # saturated regimes the table-read path can be preferable.
     pipeline_waves: bool = True
 
+    # frontier/pending delta-log compaction: when the persisted log
+    # (additions + tombstones since the last full write) exceeds this
+    # multiple of the live row count, the wave commits a compacted full
+    # rewrite instead of a delta append (Iceberg rewrite_data_files
+    # analogue).  Keeps read-side resolution cost bounded while per-wave
+    # write volume stays O(delta).
+    compact_factor: float = 4.0
+
     # fetch transport: "pagestore" joins the synthetic page-store world
     # (deterministic tests/bench), "http" issues real GETs from a reused
     # per-partition client (sources/fetch.http_fetched_frontier).  With

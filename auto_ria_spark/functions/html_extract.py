@@ -141,6 +141,11 @@ class _TreeBuilder(HTMLParser):
 def parse_html(html: str) -> Node:
     b = _TreeBuilder()
     b.feed(html)
+    # flush the parser's internal buffer: without close(), trailing text
+    # that ends in an ambiguous '&' run stays buffered and is silently
+    # dropped (found by the fuzz suite; real pages end in '>' so golden
+    # outputs are unchanged)
+    b.close()
     return b.root
 
 

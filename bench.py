@@ -38,7 +38,23 @@ HEADLINE = ["tpch_pricing", "nation_revenue", "dedup_exact",
             "doc_fingerprint", "politeness_topk", "first_occurrence_dedup"]
 
 
-def bench_crawl(spark) -> tuple[float, dict]:
+def jvm_canary(spark, reps: int = 5) -> float:
+    """Box-drift canary IN the artifact: median wall time of a warm
+    trivial localCheckpoint(eager=False)+count round-trip (the documented
+    healthy range on this box is ~0.08-0.15 s; cross-hour drift pushes it
+    to ~0.16+).  Lets a 52-vs-50 s crawl_e2e adjudication read the
+    environment off BENCH_rN.json itself instead of BENCH.md prose."""
+    df = spark.range(10_000).selectExpr("id * 2 as v")
+    df.count()  # warm the JVM path outside the timed reps
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        df.localCheckpoint(eager=False).count()
+        times.append(time.time() - t0)
+    return round(sorted(times)[len(times) // 2], 3)
+
+
+def bench_crawl(spark) -> tuple[float, dict, dict]:
     from auto_ria_spark.config import CrawlConfig
     from auto_ria_spark.plans.crawl import CrawlEngine
     from auto_ria_spark.sources import worldgen
@@ -77,9 +93,17 @@ def bench_crawl(spark) -> tuple[float, dict]:
     discovered = sum(s.discovered for s in stats)
     saved = sum(s.saved for s in stats)
     imgs_ok = eng.car_images().filter("image_ok").count()
+    # per-wave plan-section totals (seconds summed across waves): the
+    # profile that previously lived only in BENCH.md prose — lets drift
+    # adjudication see WHERE a slow run spent its extra time
+    profile: dict[str, float] = {}
+    for s in stats:
+        for sec, v in (s.detail or {}).items():
+            if isinstance(v, (int, float)):
+                profile[sec] = round(profile.get(sec, 0.0) + v, 3)
     pages.unpersist()
     corpus.unpersist()
-    return dt, {
+    return dt, profile, {
         "crawl_urls_fetched": fetched,
         "crawl_urls_discovered": discovered,
         "crawl_cars_saved": saved,
@@ -99,8 +123,10 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
 
-    crawl_secs, crawl_info = bench_crawl(spark)
+    canary_pre = jvm_canary(spark)
+    crawl_secs, profile, crawl_info = bench_crawl(spark)
     per_query["crawl_e2e"] = round(crawl_secs, 3)
+    canary_post = jvm_canary(spark)
 
     qs = queries()
     for name in HEADLINE:
@@ -119,7 +145,31 @@ def main() -> None:
         "sf": _SF_GUESS,
         "cores": CPUS,
         "detail": crawl_info,
+        # environment controls IN the artifact (not BENCH.md prose): the
+        # JVM round-trip canary brackets the crawl run (healthy box
+        # ~0.08-0.15 s; drifted ~0.16+), and the crawl's per-wave
+        # plan-section totals show where wall time went
+        "canary": {
+            "jvm_latency_s_pre": canary_pre,
+            "jvm_latency_s_post": canary_post,
+            "recipe": "median of 5 warm localCheckpoint(eager=False)"
+                      "+count on range(10k); healthy ~0.08-0.15 s",
+        },
+        "crawl_profile_s": profile,
     }
+    # two-parallelism scaling evidence (north rule): tools/scaling_bench.py
+    # writes its summary (pair throughputs + same-day bare-metal ceiling +
+    # pinned-binary control) to SCALING_r*.json; the newest one rides in
+    # the bench artifact so the ≥0.8 adjudication is self-contained
+    import glob
+    scal = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_r*.json")))
+    if scal:
+        try:
+            with open(scal[-1]) as fh:
+                out["scaling"] = json.load(fh)
+        except Exception as e:  # evidence, never a gate
+            out["scaling"] = {"error": str(e)[:200]}
     print(json.dumps(out))
     spark.stop()
 

@@ -71,6 +71,17 @@ def create_tables(spark) -> list[str]:
     return made
 
 
+def merge_cars_sql(batch_view: str) -> str:
+    """The MERGE statement of the cars sink (see merge_cars)."""
+    return f"""
+        MERGE INTO {CATALOG}.crawl.cars t
+        USING {batch_view} s
+        ON t.url = s.url
+           OR (t.car_vin IS NOT NULL AND t.car_vin = s.car_vin)
+        WHEN NOT MATCHED THEN INSERT *
+    """
+
+
 def merge_cars(spark, batch_view: str) -> None:
     """The MERGE-based cars sink: insert rows whose url AND vin are both
     unseen — the reference's unique-url (uq_car_url) + unique-vin
@@ -78,24 +89,51 @@ def merge_cars(spark, batch_view: str) -> None:
     (reference: app/core/models.py:68-69, app/utils/db_utils.py:79-180).
     ``batch_view`` must already be VIN-deduped within the batch
     (plans.crawl._dedup_by_vin — lowest discovery rank wins)."""
-    spark.sql(f"""
-        MERGE INTO {CATALOG}.crawl.cars t
-        USING {batch_view} s
-        ON t.url = s.url
-           OR (t.car_vin IS NOT NULL AND t.car_vin = s.car_vin)
-        WHEN NOT MATCHED THEN INSERT *
-    """)
+    spark.sql(merge_cars_sql(batch_view))
+
+
+def validate_sql(spark) -> dict[str, str]:
+    """DRY-RUN validation, runnable WITHOUT the Iceberg jar: every
+    production DDL statement plus the cars MERGE goes through Spark's own
+    SQL parser (``sessionState().sqlParser().parsePlan``) — grammar and
+    clause shape are checked even though the `iceberg` provider can't be
+    analyzed in a jar-less sandbox.  Returns {statement name: parsed
+    logical-plan class} and RAISES on any parse error."""
+    from auto_ria_spark.sources.warehouse import iceberg_ddl
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    kinds = {}
+    for name, ddl in iceberg_ddl().items():
+        kinds[name] = parser.parsePlan(ddl).getClass().getSimpleName()
+    merge_plan = parser.parsePlan(merge_cars_sql("cars_batch"))
+    kinds["merge_cars"] = merge_plan.getClass().getSimpleName()
+    # shape guard: the sink is an INSERT-ONLY merge — dup rows must be
+    # silently skipped (reference safe_insert_car semantics), never
+    # updated; one not-matched INSERT action and zero matched actions
+    assert merge_plan.matchedActions().size() == 0, \
+        "cars MERGE must not update matched (duplicate) rows"
+    assert merge_plan.notMatchedActions().size() == 1, \
+        "cars MERGE must have exactly one NOT MATCHED INSERT action"
+    return kinds
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="validate the DDL + MERGE statements through "
+                         "Spark's SQL parser and exit (no Iceberg jar "
+                         "needed)")
     args = ap.parse_args()
 
     spark = iceberg_session("auto-ria-iceberg-bootstrap", args.warehouse,
                             args.cores)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.dry_run:
+        print(json.dumps({"dry_run": True, "parsed": validate_sql(spark)}))
+        spark.stop()
+        return
     if not iceberg_available(spark):
         raise SystemExit(
             "Iceberg runtime jar not on the classpath — launch via "

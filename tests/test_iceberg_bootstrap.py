@@ -44,6 +44,22 @@ def iceberg_spark(tmp_path_factory):
     yield spark
 
 
+def test_dry_run_sql_shapes_parse(spark):
+    """Jar-less validation (NOT skipped): every production DDL statement
+    and the cars MERGE must parse through Spark's SQL grammar, the DDLs
+    as CREATE TABLE plans and the MERGE as an insert-only MergeIntoTable
+    (zero matched actions, one NOT MATCHED INSERT) — the reference's
+    silently-skip-duplicates semantics (app/utils/db_utils.py:79-180)."""
+    kinds = ib.validate_sql(spark)
+    from auto_ria_spark.sources.warehouse import iceberg_ddl
+
+    assert set(kinds) == set(iceberg_ddl()) | {"merge_cars"}
+    for name, kind in kinds.items():
+        if name != "merge_cars":
+            assert "CreateTable" in kind, (name, kind)
+    assert kinds["merge_cars"] == "MergeIntoTable"
+
+
 def test_ddl_creates_all_tables(iceberg_spark):
     iceberg_spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ib.CATALOG}.crawl")
     made = ib.create_tables(iceberg_spark)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from auto_ria_spark.config import CrawlConfig
-from auto_ria_spark.plans.crawl import FRONTIER_SCHEMA, CrawlEngine
+from auto_ria_spark.plans.crawl import CrawlEngine
 from auto_ria_spark.sources import worldgen
 from oracle import crawl_oracle
 
@@ -32,7 +32,7 @@ def test_price_mode_fetches_cheapest_first(spark, tmp_path):
               worldgen.car_fields(0, 40, i)["price"] for i in range(40)}
     left = {
         r.url_norm: r.priority_price
-        for r in eng._read("frontier", FRONTIER_SCHEMA)
+        for r in eng._frontier_read()
         .filter(F.col("kind") == "car").collect()
     }
     fetched = set(prices) - set(left)
@@ -51,7 +51,7 @@ def test_freshness_mode_fetches_newest_first(spark, tmp_path):
     eng.run_wave(0)
     fresh = {worldgen.car_fields(0, 40, i)["url"]:
              worldgen.car_fields(0, 40, i)["freshness"] for i in range(40)}
-    left = {r.url_norm for r in eng._read("frontier", FRONTIER_SCHEMA)
+    left = {r.url_norm for r in eng._frontier_read()
             .filter(F.col("kind") == "car").collect()}
     fetched = set(fresh) - left
     assert len(fetched) == 5

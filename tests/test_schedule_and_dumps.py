@@ -64,9 +64,9 @@ def test_iceberg_ddl_matches_engine_schemas():
     from auto_ria_spark.sources.warehouse import iceberg_ddl
 
     engine = {
-        "frontier": C.FRONTIER_SCHEMA,
+        "frontier": C.FRONTIER_LOG_SCHEMA,
         "seen_urls": C.SEEN_SCHEMA,
-        "pending_cars": C.PENDING_SCHEMA,
+        "pending_cars": C.PENDING_LOG_SCHEMA,
         "cars": C.CARS_SCHEMA,
         "car_images": C.CAR_IMAGES_SCHEMA,
         "saved_hashes": C.SAVED_HASHES_SCHEMA,

@@ -197,6 +197,10 @@ def main() -> None:
                     help="git ref of a PINNED prior binary to run as a "
                          "same-session control (e.g. the round-2 commit); "
                          "its throughputs ride along in the summary")
+    ap.add_argument("--emit", default="",
+                    help="also write the summary JSON to this path "
+                         "(e.g. SCALING_r5.json — bench.py embeds the "
+                         "newest SCALING_r*.json in its artifact)")
     args = ap.parse_args()
     cars_per_host = args.cars_total // args.hosts
 
@@ -295,7 +299,18 @@ def main() -> None:
         finally:
             subprocess.run(["git", "worktree", "remove", "--force", ctl],
                            cwd=ROOT, capture_output=True)
+    # stamp the measurement session: every number in this summary (pair
+    # legs, bare-metal ceiling, pinned control) ran back-to-back in THIS
+    # invocation — the "same-day ceiling" claim is structural, not prose
+    import time
+    summary["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+    summary["world"] = {"hosts": args.hosts,
+                        "cars_total": args.cars_total}
     print(json.dumps(summary))
+    if args.emit:
+        with open(args.emit, "w") as fh:
+            json.dump(summary, fh, indent=1)
 
 
 if __name__ == "__main__":
