@@ -388,6 +388,7 @@ class CrawlEngine:
         w = self.last_complete_wave()
         for name in TABLES:
             self.t[name].rollback_to_tag("wave", w)
+        self._log_rows = None  # rollback moved the log: re-size on read
         # rebuild the derived F2 saved-set from the rolled-back cars table
         # (one job per resume — waves then append incrementally, never
         # rescanning cars)
@@ -488,6 +489,7 @@ class CrawlEngine:
         self.t["frontier"].write(
             log_adds(frontier.unionByName(requeue), w, FRONTIER_COLS),
             "overwrite", tag, nf)
+        self._log_rows = None  # log reset: re-size from footers next run
 
     # ------------------------------------------------------------------ seed
     def start(self, seeds: list[dict]) -> None:
@@ -539,6 +541,7 @@ class CrawlEngine:
                              ("saved_hashes", SAVED_HASHES_SCHEMA)):
             self.t[name].write(empty_df(self.spark, schema),
                                mode="overwrite", tag=tag, num_files=1)
+        self._log_rows = None  # fresh logs: re-size from footers
 
     def start_from_df(self, seed_urls: DataFrame, kind: str = "car") -> None:
         """Bulk-seed the frontier from a DataFrame of URLs (sitemap-style
@@ -591,6 +594,7 @@ class CrawlEngine:
                              ("saved_hashes", SAVED_HASHES_SCHEMA)):
             self.t[name].write(empty_df(self.spark, schema),
                                mode="overwrite", tag=tag, num_files=1)
+        self._log_rows = None  # fresh logs: re-size from footers
 
     # ------------------------------------------------------------------ wave
     def run_wave(self, wave: int, state: dict | None = None,
@@ -829,26 +833,31 @@ class CrawlEngine:
             new_links.unionByName(next_pages).unionByName(phone_rows))
         frontier_delta = (
             log_adds(
+                # the adds-side anti-join is semantic, not cosmetic: a URL
+                # discovered AND fetched this wave must never enter the
+                # log (its same-wave tombstone would not kill it under
+                # the strictly-later rule and it would resurrect).  The
+                # fetched side is politeness-budget-bounded per wave
+                # (O(wave), ~MBs of hashes even at 10^6 fetches), so the
+                # BROADCAST keeps the whole delta plan map-side — the
+                # delta write serializes cached stubs with zero exchanges
                 new_this_wave
-                .join(fetched_hashes, "url_hash", "left_anti")
+                .join(F.broadcast(fetched_hashes), "url_hash", "left_anti")
                 .unionByName(requeue.select(*FRONTIER_COLS)),
                 wave, FRONTIER_COLS)
             .unionByName(
-                # tombstones only for consumed STANDING rows: a URL both
-                # discovered and fetched this wave never entered the log
-                # (and a standing row can't be re-discovered same-wave —
-                # discovery is seen-filtered), so its tombstone would be
-                # dead weight
-                log_dels(fetched_hashes.join(
-                    new_this_wave.select("url_hash"),
-                    "url_hash", "left_anti"),
-                    wave, FRONTIER_SCHEMA, "url_hash"))
+                # tombstone EVERY fetched key, no anti-join: a tombstone
+                # whose key never entered the log matches nothing and
+                # costs only key+nulls bytes — cheaper than the join that
+                # would filter it out
+                log_dels(fetched_hashes, wave, FRONTIER_SCHEMA,
+                         "url_hash"))
         )
         pending_dels = resolved_hashes.unionByName(dead_phones)
         pending_delta = (
             log_adds(
                 new_pending
-                .join(pending_dels, "phone_hash", "left_anti"),
+                .join(F.broadcast(pending_dels), "phone_hash", "left_anti"),
                 wave, PENDING_COLS)
             .unionByName(
                 log_dels(pending_dels, wave, PENDING_SCHEMA, "phone_hash"))
@@ -894,15 +903,18 @@ class CrawlEngine:
         s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
         sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
-        # delta-log sizes ride the one stats job too: the append-vs-compact
-        # decision below needs (delta rows, live rows) DETERMINISTICALLY —
-        # reading them off the async write results would race the pipeline
-        fd_agg = frontier_delta.groupBy().agg(F.count("*").alias("fd_n"))
-        pd_agg = pending_delta.groupBy().agg(F.count("*").alias("pd_n"))
+        # the pending LIVE count rides the one stats job (pending_next is
+        # a materializing stub — one cheap count); the DELTA row counts do
+        # NOT: counting frontier_delta/pending_delta here would evaluate
+        # their anti-joins on the critical path and then AGAIN in the
+        # async write (measured ~+35% wave wall) — the append-vs-compact
+        # decision instead uses an upper bound from counters this job
+        # already yields, and the exact log size is folded in from the
+        # completed writes' parquet footers (drained before the decision)
         pl_agg = pending_next.groupBy().agg(F.count("*").alias("p_left"))
         stats_df = (f_agg.crossJoin(c_agg).crossJoin(p_agg)
                     .crossJoin(s_agg).crossJoin(fl_agg).crossJoin(sa_agg)
-                    .crossJoin(fd_agg).crossJoin(pd_agg).crossJoin(pl_agg))
+                    .crossJoin(pl_agg))
         if defer_commits:
             # the union-state stubs ride along so the ONE job materializes
             # (and caches) them — see the pass-through note above
@@ -954,28 +966,36 @@ class CrawlEngine:
         # frontier/pending delta commit vs compaction: append the wave's
         # delta while the persisted log stays within compact_factor of the
         # live set, else rewrite the resolved frame (resetting the log).
-        # Empty deltas (drain waves) skip to a tag-only commit.
-        for name, table, delta, full, d_n, live, cols in (
+        # The delta is never COUNTED (that would evaluate its anti-joins
+        # on the critical path and again in the write): the decision uses
+        # an UPPER BOUND from counters the stats job already yields —
+        # adds ≤ seen_add + requeued, tombstones ≤ fetched; pending adds
+        # ≤ fetched, dels ≤ 2·fetched — and _log_rows carries the EXACT
+        # size folded in from each completed write's parquet footers
+        # (writes drained below, before this decision).  An over-bound
+        # only compacts a little early.  bound == 0 ⟺ empty delta (drain
+        # wave) ⟹ tag-only commit.
+        self._drain_writes()
+        for name, table, delta, full, bound, live, cols in (
                 ("frontier", "frontier", frontier_delta, frontier_next,
-                 row["fd_n"] or 0, st.frontier_left, FRONTIER_COLS),
+                 (row["sa_n"] or 0) + st.requeued + st.selected,
+                 st.frontier_left, FRONTIER_COLS),
                 ("pending", "pending_cars", pending_delta, pending_next,
-                 row["pd_n"] or 0, row["p_left"] or 0, PENDING_COLS)):
-            log_sz = self._log_rows[name] + d_n
-            if d_n == 0:
+                 3 * st.selected, row["p_left"] or 0, PENDING_COLS)):
+            if bound == 0:
                 skip.add(name)
                 write_queue.append((name, table, delta, "append", nf))
-            elif log_sz > cfg.compact_factor * max(live, 1):
+            elif (self._log_rows[name] + bound
+                    > cfg.compact_factor * max(live, 1)):
                 write_queue.append((name, table,
                                     log_adds(full, wave, cols),
                                     "overwrite", nf))
-                self._log_rows[name] = live
                 self._state_meta[(wave, name)] = {
-                    "mode": 1, "live": live, "delta": d_n}
+                    "mode": 1, "live": live, "bound": bound}
             else:
                 write_queue.append((name, table, delta, "append", nf))
-                self._log_rows[name] = log_sz
                 self._state_meta[(wave, name)] = {
-                    "mode": 0, "live": live, "delta": d_n}
+                    "mode": 0, "live": live, "bound": bound}
 
         # pass-through state: on a skip (drain) wave the new frame is
         # content-identical to the old one — pass the OLD (already
@@ -1017,15 +1037,23 @@ class CrawlEngine:
                 if meta is not None:
                     # judged evidence: per-wave frontier/pending WRITE
                     # volume must be O(delta) — rows/bytes actually
-                    # serialized land in the metrics table at run() end
-                    meta["rows_written"] = snap.get("rows", -1)
+                    # serialized land in the metrics table at run() end.
+                    # The footer row count is also the EXACT log-size
+                    # accounting the next wave's append-vs-compact
+                    # decision reads (safe: that decision runs after
+                    # _drain_writes, so this thread has completed)
+                    rows = snap.get("rows", 0) or 0
+                    meta["rows_written"] = rows
                     meta["bytes_written"] = snap.get("bytes_new", -1)
+                    if meta["mode"] == 1:
+                        self._log_rows[name] = rows
+                    else:
+                        self._log_rows[name] += rows
             _t[f"wt_{name}"] = round(_time.time() - t0, 3)
             return snap
 
         # per-table commit ORDER across waves: the previous wave's commits
-        # must land before this wave's commits/retags touch the tables
-        self._drain_writes()
+        # landed at the _drain_writes before the delta-commit decision
         if self._write_ex is None:
             self._write_ex = ThreadPoolExecutor(max_workers=8)
         for args in write_queue:
@@ -1558,7 +1586,7 @@ class CrawlEngine:
                                                            -1))),
                 (wave, -1, kind, "bytes_written", int(m.get("bytes_written",
                                                             -1))),
-                (wave, -1, kind, "rows_delta", int(m["delta"])),
+                (wave, -1, kind, "rows_delta_bound", int(m["bound"])),
                 (wave, -1, kind, "rows_live", int(m["live"])),
                 (wave, -1, kind, "compacted", int(m["mode"])),
             ]

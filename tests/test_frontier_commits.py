@@ -51,16 +51,17 @@ def test_frontier_write_volume_is_o_delta_on_saturated_frontier(
     delta_waves = [v for v in m.values() if v["compacted"] == 0]
     assert delta_waves, "expected at least one delta-append wave"
     for v in delta_waves:
-        # rows serialized == the wave's delta (adds + tombstones), and
-        # the standing frontier is orders larger than what was written
-        assert v["rows_written"] == v["rows_delta"]
+        # rows serialized stay within the wave's delta bound (adds +
+        # tombstones, from the wave counters), and the standing frontier
+        # is orders larger than what was written
+        assert 0 < v["rows_written"] <= v["rows_delta_bound"]
         assert v["rows_live"] > 3 * v["rows_written"], (
             f"frontier write not O(delta): wrote {v['rows_written']} "
             f"rows against {v['rows_live']} live")
     # pending follows the same contract on every non-compaction wave
     for v in _state_metrics(eng, "pending").values():
         if v["compacted"] == 0:
-            assert v["rows_written"] == v["rows_delta"]
+            assert v["rows_written"] <= v["rows_delta_bound"]
 
 
 def test_frontier_log_bytes_scale_with_delta(spark, tmp_path):
