@@ -933,12 +933,6 @@ class CrawlEngine:
             wave_lit, F.col("__pid").alias("partition_id"),
             "kind", F.lit("fetch_ok").alias("metric"),
             F.col("ok").cast("long").alias("value")))
-        summary = stats_df.select(
-            wave_lit, F.lit(-1).alias("partition_id"), E["stack"],
-        ).select("wave", "partition_id", "kind", "metric", "value")
-        write_queue.append(("metrics", "metrics",
-                            metric_rows.unionByName(summary), "append", 1))
-
         row = stats_df.first()
         _mark("stats_job")
         st.selected = row["f_n"] or 0
@@ -950,6 +944,36 @@ class CrawlEngine:
         st.enqueued = st.discovered - st.skipped_db - (row["c_over"] or 0)
         st.saved = row["s_saved"] or 0
         st.frontier_left = row["fl_left"] or 0
+
+        # the 12 summary metric rows are literals off the collected stats
+        # row (range+explode keeps the plan JVM-only — no Python-worker
+        # local relation, and the async metrics write no longer
+        # re-evaluates the whole stats cross-join over the stage caches)
+        summary_vals = [
+            ("all", "fetched", st.selected),
+            ("all", "fetch_ok", st.fetched_ok),
+            ("all", "requeued", st.requeued),
+            ("all", "errors", st.errors),
+            ("car", "discovered", st.discovered),
+            ("car", "skipped_db", st.skipped_db),
+            ("car", "enqueued", st.enqueued),
+            ("car", "parsed", row["p_n"] or 0),
+            ("car", "deleted", row["p_deleted"] or 0),
+            ("car", "no_phone", row["p_nophone"] or 0),
+            ("car", "saved", st.saved),
+            ("all", "frontier_left", st.frontier_left),
+        ]
+        summary = (
+            self.spark.range(1)
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(k).alias("kind"), F.lit(m).alias("metric"),
+                         F.lit(int(v)).cast("long").alias("value"))
+                for k, m, v in summary_vals])).alias("s"))
+            .select(wave_lit, F.lit(-1).alias("partition_id"),
+                    "s.kind", "s.metric", "s.value")
+        )
+        write_queue.append(("metrics", "metrics",
+                            metric_rows.unionByName(summary), "append", 1))
 
         # -- commit fan-out (tagged with the wave: the checkpoint) ---------------
         # tables a sparse/drain wave adds nothing to get a tag-only commit
@@ -1322,22 +1346,6 @@ class CrawlEngine:
             F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0))
             .alias("ok"),
         ]
-        E["stack"] = F.expr(
-            "stack(12,"
-            " 'all','fetched', cast(coalesce(f_n, 0) as long),"
-            " 'all','fetch_ok', cast(coalesce(f_ok, 0) as long),"
-            " 'all','requeued', cast(coalesce(f_requeued, 0) as long),"
-            " 'all','errors', cast(coalesce(f_errors, 0) as long),"
-            " 'car','discovered', cast(coalesce(c_disc, 0) as long),"
-            " 'car','skipped_db', cast(coalesce(c_skip, 0) as long),"
-            " 'car','enqueued', cast(coalesce(c_disc, 0)"
-            "   - coalesce(c_skip, 0) - coalesce(c_over, 0) as long),"
-            " 'car','parsed', cast(coalesce(p_n, 0) as long),"
-            " 'car','deleted', cast(coalesce(p_deleted, 0) as long),"
-            " 'car','no_phone', cast(coalesce(p_nophone, 0) as long),"
-            " 'car','saved', cast(coalesce(s_saved, 0) as long),"
-            " 'all','frontier_left', cast(coalesce(fl_left, 0) as long)"
-            ") as (kind, metric, value)")
         E["saved_hash_col"] = U.url_hash64(F.col("url")).alias("url_hash")
         # stage V statics
         E["img_notnull"] = F.col("image_id").isNotNull()
