@@ -365,8 +365,8 @@ class CrawlEngine:
         no Spark job); per-wave commits then maintain the counters."""
         if self._log_rows is None:
             self._log_rows = {
-                "frontier": self.t["frontier"].total_rows(),
-                "pending": self.t["pending_cars"].total_rows(),
+                "frontier": self.t["frontier"].total_rows(self.spark),
+                "pending": self.t["pending_cars"].total_rows(self.spark),
             }
 
     def last_complete_wave(self) -> int:

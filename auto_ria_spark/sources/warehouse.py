@@ -31,6 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 _CURRENT = "CURRENT.json"
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Sum row counts from parquet footers (no Spark job).  Raises on
+    any unreadable footer — each caller picks its own fallback."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 class SnapshotTable:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -124,10 +132,7 @@ class SnapshotTable:
             extra["bytes_new"] = -1
         # row count of THIS write from the parquet footers (no Spark job)
         try:
-            import pyarrow.parquet as pq
-
-            extra["rows"] = sum(
-                pq.ParquetFile(f).metadata.num_rows for f in files)
+            extra["rows"] = _footer_rows(files)
         except Exception:  # pragma: no cover - footer read is the fast path
             # never None: callers use snap["rows"] for loop termination
             # (frontier_left) — fall back to a real count of what was written
@@ -193,29 +198,31 @@ class SnapshotTable:
         except OSError:  # pragma: no cover - fs race
             extra["bytes_new"] = extra["bytes_reused"] = -1
         try:
-            import pyarrow.parquet as pq
-
-            extra["rows"] = sum(
-                pq.ParquetFile(f).metadata.num_rows for f in new)
+            extra["rows"] = _footer_rows(list(new))
         except Exception:  # pragma: no cover - footer read is the fast path
             extra["rows"] = len(new)
         return self._commit(list(file_shards), "overwrite", tag,
                             file_shards=file_shards, extra=extra)
 
-    def total_rows(self) -> int:
+    def total_rows(self, spark: SparkSession | None = None) -> int:
         """Row count of the CURRENT snapshot from parquet footers (no
         Spark job) — delta-log tables use it to size their persisted log
-        against the live set for the compaction decision."""
+        against the live set for the compaction decision.
+
+        Never silently wrong: if the footers are unreadable this falls
+        back to a real Spark count when a session is supplied, else
+        RAISES — returning 0 here would size a resumed run's persisted
+        log as empty and defer compaction indefinitely while every
+        read pays resolution over the unbounded log."""
         cur = self.current()
-        if cur is None:
+        if cur is None or not cur["files"]:
             return 0
         try:
-            import pyarrow.parquet as pq
-
-            return sum(pq.ParquetFile(f).metadata.num_rows
-                       for f in cur["files"])
+            return _footer_rows(cur["files"])
         except Exception:  # pragma: no cover - footer read is the fast path
-            return 0
+            if spark is not None:
+                return spark.read.parquet(*cur["files"]).count()
+            raise
 
     def retag(self, tag: dict) -> dict:
         """Tag-only commit: a new snapshot over the SAME files (an empty

@@ -178,8 +178,16 @@ def main() -> None:
     # pinned-binary control) to SCALING_r*.json; the newest one rides in
     # the bench artifact so the ≥0.8 adjudication is self-contained
     import glob
+    import re
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    # numeric round key, NOT lexicographic (r9 would sort after r10)
     scal = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SCALING_r*.json")))
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_r*.json")),
+        key=_round_no)
     if scal:
         try:
             with open(scal[-1]) as fh:

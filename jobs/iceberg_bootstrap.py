@@ -109,11 +109,15 @@ def validate_sql(spark) -> dict[str, str]:
     kinds["merge_cars"] = merge_plan.getClass().getSimpleName()
     # shape guard: the sink is an INSERT-ONLY merge — dup rows must be
     # silently skipped (reference safe_insert_car semantics), never
-    # updated; one not-matched INSERT action and zero matched actions
-    assert merge_plan.matchedActions().size() == 0, \
-        "cars MERGE must not update matched (duplicate) rows"
-    assert merge_plan.notMatchedActions().size() == 1, \
-        "cars MERGE must have exactly one NOT MATCHED INSERT action"
+    # updated; one not-matched INSERT action and zero matched actions.
+    # Explicit raises, not asserts: this is a production validation path
+    # and asserts vanish under PYTHONOPTIMIZE/-O
+    if merge_plan.matchedActions().size() != 0:
+        raise ValueError(
+            "cars MERGE must not update matched (duplicate) rows")
+    if merge_plan.notMatchedActions().size() != 1:
+        raise ValueError(
+            "cars MERGE must have exactly one NOT MATCHED INSERT action")
     return kinds
 
 
