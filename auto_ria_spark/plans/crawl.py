@@ -399,13 +399,17 @@ class CrawlEngine:
             mode="overwrite", tag={"wave": w}, num_files=1)
         return w + 1
 
-    def recrawl(self, urls: list[str]) -> None:
+    def recrawl(self, urls: "list[str] | DataFrame") -> None:
         """Freshness re-queue: mark saved listings STALE so the next run
         fetches exactly those URLs again — the reference's "listing
         updated, scrape it again" re-check generalized (reference:
         app/utils/db_utils.py:48-76) and the reason the cuckoo seen-filter
         exists: its fingerprints DELETE in place (operators/cuckoo.py),
         where Bloom must rebuild every touched shard from the exact table.
+
+        ``urls`` is a DataFrame with one string column ``url`` (the scale
+        path — a 10^6-row stale set never rides through the driver), or a
+        ``list[str]`` kept as a thin convenience wrapper over it.
 
         Per stale URL: its cars row and saved_hashes entry are removed and
         the URL re-enters the frontier with its ORIGINAL discovery rank
@@ -426,8 +430,10 @@ class CrawlEngine:
         w = self.last_complete_wave()
         tag = {"wave": w}
         nf = max(2, cfg.shuffle_partitions // 8)
+        url_df = (urls if isinstance(urls, DataFrame)
+                  else local_df(spark, [(u,) for u in urls], "url string"))
         stale = (
-            local_df(spark, [(u,) for u in urls], "url string")
+            url_df
             .select(U.canonicalize_url(F.col("url")).alias("url_norm"))
             .withColumn("url_hash", U.url_hash64(F.col("url_norm")))
         )
@@ -483,13 +489,18 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("priority_price"),
             F.lit(None).cast("long").alias("priority_freshness"),
         ).select(*FRONTIER_COLS)
-        # full rewrite = a delta-log compaction (recrawl is rare and
-        # driver-initiated; the resolved view + requeue is the new base)
-        frontier = self._frontier_read()
-        self.t["frontier"].write(
-            log_adds(frontier.unionByName(requeue), w, FRONTIER_COLS),
-            "overwrite", tag, nf)
-        self._log_rows = None  # log reset: re-size from footers next run
+        # O(delta) commit: append the requeue rows as wave-w additions to
+        # the frontier delta log — NOT a compaction.  A consumed URL's
+        # tombstone carries the wave it was fetched (≤ w), and resolve_log
+        # keeps an addition whose __fwave is >= its key's latest tombstone
+        # wave, so the re-add survives (the tombstone-survivor semantics
+        # pinned by test_resolve_log_tombstone_semantics case 4).  The log
+        # grows by exactly |requeue| rows; the next run's append-vs-compact
+        # decision folds the size in via the write footer below.
+        snap = self.t["frontier"].write(
+            log_adds(requeue, w, FRONTIER_COLS), "append", tag, nf)
+        if self._log_rows is not None:
+            self._log_rows["frontier"] += snap.get("rows", 0) or 0
 
     # ------------------------------------------------------------------ seed
     def start(self, seeds: list[dict]) -> None:
@@ -617,7 +628,16 @@ class CrawlEngine:
         analysis/execution of stage N overlaps the driver's py4j plan
         construction of stage N+1 (driver planning is the measured
         fixed cost per wave — without overlap the executors sit idle
-        through it)."""
+        through it).
+
+        Contract for standalone callers (tests / custom drivers): the
+        per-wave filter and frontier/pending write-volume accounting
+        accumulates in memory (``_filter_log`` / ``_state_meta``) and is
+        only persisted to the metrics table by :meth:`finalize` — which
+        :meth:`run` invokes in its durability barrier.  Drive waves
+        yourself ⟹ call ``finalize()`` when done, or the O(delta)
+        write-volume evidence for those waves is never durably recorded
+        (and the in-memory logs grow unboundedly)."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
         cfg, spark = self.cfg, self.spark
@@ -1007,8 +1027,13 @@ class CrawlEngine:
                 ("pending", "pending_cars", pending_delta, pending_next,
                  3 * st.selected, row["p_left"] or 0, PENDING_COLS)):
             if bound == 0:
+                # empty delta (drain wave) ⟹ tag-only commit: retag the
+                # table directly — queuing a write here would be dead code
+                # (skip converts queue entries to retags in the fan-out),
+                # and the name must still enter `skip` so the pass-through
+                # state below reuses the OLD materialized frame
                 skip.add(name)
-                write_queue.append((name, table, delta, "append", nf))
+                self.t[table].retag(tag)
             elif (self._log_rows[name] + bound
                     > cfg.compact_factor * max(live, 1)):
                 write_queue.append((name, table,
@@ -1540,18 +1565,24 @@ class CrawlEngine:
                     break
                 wave += 1
         finally:
-            # durability barrier: every wave's commits are on disk before
-            # the run returns (callers read tables; a crash mid-flight
-            # resumes from the last complete wave as before)
-            self._drain_writes()
-            # release the commit fan-out threads (bench/scaling loops build
-            # many engines per process); recreated lazily on the next run
-            if self._write_ex is not None:
-                self._write_ex.shutdown(wait=True)
-                self._write_ex = None
-            self._flush_filter_metrics()
-            self._flush_state_metrics()
+            self.finalize()
         return stats
+
+    def finalize(self) -> None:
+        """Durability barrier + accounting flush.  ``run()`` calls this on
+        exit; callers that drive :meth:`run_wave` directly MUST call it
+        themselves when done — it (a) lands every in-flight async commit
+        on disk, (b) releases the commit fan-out threads (bench/scaling
+        loops build many engines per process; recreated lazily on the
+        next run), and (c) persists the accumulated per-wave filter and
+        frontier/pending write-volume evidence to the metrics table.
+        Idempotent: a second call with nothing accumulated is a no-op."""
+        self._drain_writes()
+        if self._write_ex is not None:
+            self._write_ex.shutdown(wait=True)
+            self._write_ex = None
+        self._flush_filter_metrics()
+        self._flush_state_metrics()
 
     def _flush_filter_metrics(self) -> None:
         """Append per-wave seen-filter WRITE volume to the metrics table:

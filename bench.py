@@ -100,6 +100,7 @@ def bench_crawl(spark) -> tuple[float, dict, dict]:
         stats = eng.run(seeds=worldgen.seed_rows(HOSTS))
         runs.append((time.time() - t0, stats, eng))
     dt, stats, eng = min(runs, key=lambda r: r[0])
+    mean_dt = sum(r[0] for r in runs) / len(runs)
     fetched = sum(s.selected for s in stats)
     discovered = sum(s.discovered for s in stats)
     saved = sum(s.saved for s in stats)
@@ -122,6 +123,11 @@ def bench_crawl(spark) -> tuple[float, dict, dict]:
         "crawl_waves": len(stats),
         "crawl_runs_s": [round(r[0], 3) for r in runs],
         "crawl_fetched_deduped_per_sec": round((fetched + discovered) / dt, 2),
+        # mean-of-runs throughput alongside the best-of headline so
+        # cross-round comparisons can normalize the best-of-2 protocol
+        # (rounds 1-4 were single-run)
+        "crawl_fetched_deduped_per_sec_mean": round(
+            (fetched + discovered) / mean_dt, 2),
     }
 
 
@@ -194,7 +200,50 @@ def main() -> None:
                 out["scaling"] = json.load(fh)
         except Exception as e:  # evidence, never a gate
             out["scaling"] = {"error": str(e)[:200]}
-    print(json.dumps(out))
+
+    # The driver keeps only the LAST ~2,000 chars of stdout, so the final
+    # line must be a self-contained compact headline (round-5 lesson: the
+    # 4.5 KB single-line artifact truncated to an unparseable fragment).
+    # The full self-adjudicating payload (embedded scaling summaries,
+    # per-wave profile, crawl detail) goes to BENCH_FULL.json + an EARLIER
+    # stdout line; the last line carries headline + per-query + canary +
+    # both raw run times and stays well under the capture window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the earlier stdout line still has it
+    print(json.dumps(out))  # full artifact, earlier line (driver-truncated)
+
+    scaling = out.get("scaling")
+    eff = None
+    if isinstance(scaling, list):  # list of phase summaries
+        effs = [s.get("scaling_efficiency") for s in scaling
+                if isinstance(s, dict) and "scaling_efficiency" in s]
+        eff = effs[-1] if effs else None
+    elif isinstance(scaling, dict):
+        eff = scaling.get("scaling_efficiency")
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": per_query,
+        "sf": _SF_GUESS,
+        "cores": CPUS,
+        "crawl_runs_s": crawl_info["crawl_runs_s"],
+        "value_mean": crawl_info["crawl_fetched_deduped_per_sec_mean"],
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
+        "scaling_eff": eff,
+        "full_artifact": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never exceed the capture window
+        compact.pop("metric", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

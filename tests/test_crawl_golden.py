@@ -212,12 +212,23 @@ def _cars_by_url(eng):
             for r in eng.cars_final().collect()}
 
 
-def _recrawl_roundtrip(spark, tmp_path, cfg, k=3):
+def _recrawl_roundtrip(spark, tmp_path, cfg, k=3, via_df=False):
     eng, oracle, _ = run_both(spark, tmp_path, cfg, cars_per_host=60,
                               page_size=20)
     before_cars, before_seen = _cars_by_url(eng), _seen_identity(eng)
     stale = sorted(before_cars)[:k]
-    eng.recrawl(stale)
+    fr_before = eng.t["frontier"].current()
+    if via_df:
+        from auto_ria_spark.util import local_df
+        eng.recrawl(local_df(spark, [(u,) for u in stale], "url string"))
+    else:
+        eng.recrawl(stale)
+    # O(delta) frontier commit: the requeue is an APPEND to the delta log
+    # (every pre-recrawl file carried byte-identically) serializing exactly
+    # the k requeued rows — never a compaction rewrite of the live set
+    fr_after = eng.t["frontier"].current()
+    assert set(fr_before["files"]) <= set(fr_after["files"])
+    assert fr_after["rows"] == k
     # stale rows are gone until re-fetched
     mid = {r.url for r in eng.cars_final().select("url").collect()}
     assert not (set(stale) & mid)
@@ -244,6 +255,16 @@ def test_recrawl_bloom_rebuild_path(spark, tmp_path):
     """Same semantics under Bloom, which cannot delete: recrawl falls back
     to rebuilding the filter from the exact seen table."""
     _recrawl_roundtrip(spark, tmp_path, _cfg(), k=2)
+
+
+def test_recrawl_dataframe_path(spark, tmp_path):
+    """Scale path: recrawl() accepts a DataFrame of URLs (a 10^6-row stale
+    set never rides through the driver as a Python list) and round-trips
+    to the identical refreshed state through the same O(delta) append."""
+    _recrawl_roundtrip(
+        spark, tmp_path,
+        _cfg(seen_filter="cuckoo", cuckoo_buckets_per_shard=1 << 10),
+        k=3, via_df=True)
 
 
 def test_golden_crawl_robots(spark, tmp_path):

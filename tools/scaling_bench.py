@@ -100,7 +100,7 @@ def run_crawl(world: str, cores: int, hosts: int, saturated: bool) -> None:
     spark.stop()
 
 
-def _ceiling_file(path: str) -> tuple[int, int]:
+def _control_file(path: str) -> tuple[int, int]:
     """Decode+phash every image of one corpus parquet part (no Spark)."""
     import pyarrow.parquet as pq
 
@@ -118,13 +118,20 @@ def _ceiling_file(path: str) -> tuple[int, int]:
     return n, ok
 
 
-def run_ceiling(world: str, cores: int, max_files: int = 0) -> None:
-    """BARE-METAL ceiling: the SAME decode+phash work as the crawl's
-    image-verify stage, run through a plain multiprocessing.Pool with NO
-    Spark — measures what this box can physically scale from N to 4N
-    processes that day.  Emitting it per-session puts the environment
-    control INSIDE the artifact: the engine's efficiency is judged
-    against the same-day ceiling, not a different session's box."""
+def run_pool_control(world: str, cores: int, max_files: int = 0) -> None:
+    """Same-day CONTROL (not a ceiling): the SAME decode+phash work as
+    the crawl's image-verify stage, run through a plain
+    multiprocessing.Pool with NO Spark — a same-session reference for how
+    the box scales N -> 4N processes that day.  Emitting it per-session
+    puts the environment control INSIDE the artifact.
+
+    It is NOT an upper bound on the engine: Spark overlaps IO, task
+    scheduling and planning with compute while the pool control does not,
+    so the engine's scaling efficiency can legitimately exceed the
+    control's (round 5 measured ratios of 1.08-1.10).  The raw
+    scaling_efficiency number is the primary north-rule gate; the control
+    only contextualizes sub-0.8 raw readings taken during slow box
+    phases."""
     import glob
     import time
     from multiprocessing import Pool
@@ -136,12 +143,12 @@ def run_ceiling(world: str, cores: int, max_files: int = 0) -> None:
         files = files[:max_files]
     t0 = time.time()
     with Pool(cores) as p:
-        parts = p.map(_ceiling_file, files)
+        parts = p.map(_control_file, files)
     dt = time.time() - t0
     n = sum(a for a, _ in parts)
     ok = sum(b for _, b in parts)
     print(json.dumps({
-        "phase": "ceiling", "cores": cores, "seconds": round(dt, 2),
+        "phase": "pool_control", "cores": cores, "seconds": round(dt, 2),
         "images": n, "images_ok": ok,
         "throughput_urls_per_sec": round(n / dt, 2),
     }))
@@ -187,11 +194,14 @@ def main() -> None:
                     help="standing-frontier regime: bulk-seed all car URLs")
     ap.add_argument("--verify-only", action="store_true",
                     help="single-operator mode: image verify stage alone")
-    ap.add_argument("--ceiling", default="true", choices=["true", "false"],
+    ap.add_argument("--pool-control", "--ceiling", dest="pool_control",
+                    default="true", choices=["true", "false"],
                     help="also measure the same-day bare-metal (no-Spark) "
-                         "scaling ceiling and emit it in the summary")
-    ap.add_argument("--ceiling-files", type=int, default=0,
-                    help="cap corpus parquet parts in the ceiling run "
+                         "pool control and emit it in the summary "
+                         "(a same-session reference, NOT an upper bound)")
+    ap.add_argument("--control-files", "--ceiling-files",
+                    dest="control_files", type=int, default=0,
+                    help="cap corpus parquet parts in the pool-control run "
                          "(same work at both levels; 0 = all)")
     ap.add_argument("--control-ref", default="",
                     help="git ref of a PINNED prior binary to run as a "
@@ -207,8 +217,8 @@ def main() -> None:
     if args.phase == "gen":
         gen_world(args.out, args.hosts, cars_per_host)
         return
-    if args.phase == "ceiling":
-        run_ceiling(args.out, args.run_cores, args.ceiling_files)
+    if args.phase == "pool_control":
+        run_pool_control(args.out, args.run_cores, args.control_files)
         return
     if args.phase == "run":
         if args.verify_only:
@@ -235,8 +245,8 @@ def main() -> None:
                 cmd.append("--saturated")
             if phase == "run" and args.verify_only:
                 cmd.append("--verify-only")
-            if phase == "ceiling" and args.ceiling_files:
-                cmd += ["--ceiling-files", str(args.ceiling_files)]
+            if phase == "pool_control" and args.control_files:
+                cmd += ["--control-files", str(args.control_files)]
             p = subprocess.run(cmd, check=True, cwd=cwd,
                                capture_output=True, text=True)
             line = [ln for ln in p.stdout.splitlines()
@@ -263,18 +273,20 @@ def main() -> None:
         "scaling_efficiency": _eff(results),
     }
 
-    if args.ceiling == "true":
+    if args.pool_control == "true":
         # the environment control rides INSIDE the artifact: same-day
-        # bare-metal (no-Spark) scaling of the identical decode work
-        ceil = _run_levels(__file__, ROOT, "ceiling")
-        summary["bare_metal_ceiling"] = {
-            "throughput": {c: ceil[c]["throughput_urls_per_sec"]
-                           for c in sorted(ceil)},
-            "scaling_efficiency": _eff(ceil),
+        # bare-metal (no-Spark) scaling of the identical decode work.
+        # A CONTROL, not a ceiling — the engine can exceed it (see
+        # run_pool_control); the raw scaling_efficiency is the gate.
+        ctl = _run_levels(__file__, ROOT, "pool_control")
+        summary["same_day_control"] = {
+            "throughput": {c: ctl[c]["throughput_urls_per_sec"]
+                           for c in sorted(ctl)},
+            "scaling_efficiency": _eff(ctl),
         }
-        ce = summary["bare_metal_ceiling"]["scaling_efficiency"]
+        ce = summary["same_day_control"]["scaling_efficiency"]
         if ce > 0:
-            summary["efficiency_vs_same_day_ceiling"] = round(
+            summary["efficiency_vs_same_day_control"] = round(
                 summary["scaling_efficiency"] / ce, 3)
 
     if args.control_ref:
@@ -300,13 +312,19 @@ def main() -> None:
             subprocess.run(["git", "worktree", "remove", "--force", ctl],
                            cwd=ROOT, capture_output=True)
     # stamp the measurement session: every number in this summary (pair
-    # legs, bare-metal ceiling, pinned control) ran back-to-back in THIS
-    # invocation — the "same-day ceiling" claim is structural, not prose
+    # legs, same-day pool control, pinned control) ran back-to-back in
+    # THIS invocation — the "same-day" claim is structural, not prose
     import time
     summary["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
     summary["world"] = {"hosts": args.hosts,
                         "cars_total": args.cars_total}
+    summary["criterion"] = (
+        "north-rule gate: raw scaling_efficiency >= 0.8 at the recorded "
+        "core pair. same_day_control is a same-session multiprocessing "
+        "reference, NOT an upper bound (the engine overlaps IO/planning "
+        "with compute and can exceed it); it only contextualizes sub-0.8 "
+        "raw readings taken during slow box phases")
     print(json.dumps(summary))
     if args.emit:
         with open(args.emit, "w") as fh:
