@@ -758,6 +758,12 @@ _IVF_N_QUERIES = 30
 _IVF_ITERS = 2       # fixed Lloyd iterations (seeded init => deterministic)
 _IVF_CELL_CAP = 128  # per-cell candidate bound (mirrors _ANN_BUCKET_CAP)
 _IVF_TRAIN_PER_K = 256  # quantizer training-set bound: min(N, 256·K) rows
+# Driver-dict centroid-state bound (the _BRUTE_MAX_QUERIES discipline):
+# the trained centroids live as K driver-side rows of (sv, n, ss) — K·dim
+# doubles, the volume any centroid broadcast ships.  At K ∝ √N this holds
+# to N ~ 10^12 vectors; beyond it the gate below raises with the
+# distributed-merge recipe instead of silently ballooning the driver.
+_IVF_MAX_DRIVER_K = 1_000_000
 
 
 def ivf_train_stride(n_total: int, k: int) -> int:
@@ -794,7 +800,9 @@ def ivf_cells(spark, sf_dir):
     ASSERTED at runtime (max cell size = N, max qq measured from the
     data), not assumed.  Cluster plan (the FAISS shape): centroid state
     is K driver-side rows (K·dim doubles — what any centroid broadcast
-    ships; at K ≳ 10^6 move the merge to a join); each assignment is a
+    ships; GATED at ``_IVF_MAX_DRIVER_K`` — beyond it the code raises
+    with the distributed-merge recipe rather than silently ballooning
+    the driver); each assignment is a
     ZERO-SHUFFLE Arrow mapInPandas kernel — one BLAS matmul + argmin
     per batch against the broadcast centroid matrix; the centroid
     update is a single fixed-width (count + per-dimension sum) partial
@@ -819,6 +827,14 @@ def ivf_cells(spark, sf_dir):
                            F.max(F.size("qe")).alias("dim")).first()
     n_total, max_qq, dim = row["n"], row["max_qq"] or 0.0, row["dim"] or 0
     k = max(4, math.isqrt(n_total))
+    if k > _IVF_MAX_DRIVER_K:
+        raise ValueError(
+            f"IVF K={k} exceeds _IVF_MAX_DRIVER_K={_IVF_MAX_DRIVER_K}: "
+            "centroid state is a driver-side dict (K·dim doubles) and "
+            "would balloon the driver — move the centroid merge to a "
+            "distributed join (keep centroids as a table, join the "
+            "per-cell partial aggregate back instead of collect()) or "
+            "lower K")
     # Exactness guard: every term of the assignment distance is an
     # integer bounded by 2·N²·max(qq) — n²·qq ≤ N²·mq; ss = |sv|² ≤
     # N²·mq (sv sums ≤ N quantized vectors); |2n·(qe·sv)| ≤
@@ -881,14 +897,25 @@ def ivf_cells(spark, sf_dir):
         return vecs.select("vec_id", "qq", "qe").mapInPandas(
             fn, schema=out_schema)
 
-    # seeded init: the first K training vectors — ONE tiny collect off
-    # the cached vq (centroid state lives on the driver between rounds;
-    # K·dim doubles, the same volume any centroid broadcast ships)
+    # seeded init: the first K training vectors BY ORDER (orderBy+limit,
+    # not a `vec_id < k·stride` id predicate — that shape silently under-
+    # seeds when vec_ids are sparse/gapped; order-based init yields
+    # exactly min(K, |sample|) centroids for ANY id distribution, and is
+    # identical to the predicate on contiguous ids, so oracle parity
+    # holds).  ONE tiny collect off the cached sample (centroid state
+    # lives on the driver between rounds; K·dim doubles, the same volume
+    # any centroid broadcast ships — bounded by _IVF_MAX_DRIVER_K above).
     cents = {
         r["vec_id"]: (list(r["qe"]), 1.0, r["qq"])
-        for r in vt.filter(F.col("vec_id") < k * stride)
+        for r in vt.orderBy("vec_id").limit(k)
         .select("vec_id", "qe", "qq").collect()
     }
+    if not cents:
+        raise ValueError(
+            "IVF: empty training sample — the embeddings table has no "
+            "rows, so no init centroids exist (an empty centroid matrix "
+            "would crash the assignment kernel with an opaque numpy "
+            "shape error)")
     for _ in range(_IVF_ITERS):
         # ONE distributed job per Lloyd round: zero-shuffle assignment
         # (qe rides through, constant per vec_id) into a fixed-width
@@ -1495,8 +1522,11 @@ def _ivf_oracle_sql() -> str:
         ), vt AS (
           SELECT vv.* FROM vv, st WHERE vec_id % st.s = 0
         ), c0 AS (
+          -- first K training vectors BY ORDER (mirrors the Spark
+          -- orderBy+limit init exactly; robust to gapped vec_ids)
           SELECT vec_id AS cent_id, qe AS sv, 1.0 AS n, qq AS ss
-          FROM vt, st WHERE vec_id < st.k * st.s
+          FROM vt, st
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= st.k
         )"""
     for i in range(1, _IVF_ITERS + 1):
         sql += _assign(f"asg{i}", f"c{i - 1}", "vt")

@@ -261,3 +261,45 @@ def test_ivf_sample_training_matches_oracle_when_stride_binds(
         (q, c, f"{cos:.6f}", rnk)
         for q, c, cos, rnk in con.execute(Q._ivf_oracle_sql()).fetchall())
     assert srows == drows
+
+
+def test_ivf_driver_k_gated_in_code(spark, monkeypatch):
+    """The centroid state is a driver-side dict bounded by
+    _IVF_MAX_DRIVER_K: past the bound the quantizer must raise with the
+    distributed-merge recipe instead of silently ballooning the driver
+    (the _BRUTE_MAX_QUERIES discipline applied to IVF)."""
+    import pytest
+
+    monkeypatch.setattr(Q, "_IVF_MAX_DRIVER_K", 3)  # test-scale K is > 3
+    with pytest.raises(ValueError, match="_IVF_MAX_DRIVER_K"):
+        Q.ivf_cells(spark, SF)
+
+
+def test_ivf_init_order_based_and_empty_input_raises(spark, tmp_path):
+    """Seeded init takes the first K training vectors BY ORDER, so
+    sparse/gapped vec_ids still yield min(K, sample) centroids (the id
+    predicate `vec_id < K·s` silently under-seeds on gaps), and an empty
+    embeddings table raises a clear error instead of an opaque numpy
+    shape crash in the assignment kernel."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    sfd = str(tmp_path / "sf_gapped")
+    # gapped ids: 1000, 1010, ... — the old predicate would seed ZERO
+    # centroids (no id < k*stride exists); order-based init seeds k
+    rows = [(1000 + 10 * i, [float((i * 7 + j) % 5) / 4 for j in range(8)])
+            for i in range(64)]
+    spark.createDataFrame(rows, schema).repartition(2) \
+        .write.mode("overwrite").parquet(f"{sfd}/embeddings.parquet")
+    vq, cells, k = Q.ivf_cells(spark, sfd)
+    assert cells.count() == 64                      # every vector assigned
+    assert cells.select("cell").distinct().count() >= 2
+    # empty table: loud, named error
+    sfe = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], schema).write.mode("overwrite") \
+        .parquet(f"{sfe}/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty training sample"):
+        Q.ivf_cells(spark, sfe)
