@@ -45,7 +45,8 @@ _VOID = {"img", "br", "meta", "link", "input", "hr", "area", "base", "col",
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "classes", "children", "texts", "content")
+    __slots__ = ("tag", "attrs", "classes", "children", "texts", "content",
+                 "parent")
 
     def __init__(self, tag: str, attrs: dict):
         self.tag = tag
@@ -57,6 +58,7 @@ class Node:
         # the single source of truth for text(); children/texts are the
         # type-filtered views the selector code indexes.
         self.content: list[Node | str] = []
+        self.parent: Node | None = None  # set by the builder; #root: None
 
     # -- text ---------------------------------------------------------------
     def text(self) -> str:
@@ -116,6 +118,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         node = Node(tag, dict(attrs))
+        node.parent = self.stack[-1]
         self.stack[-1].children.append(node)
         self.stack[-1].content.append(node)
         if tag not in _VOID:
@@ -123,6 +126,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         node = Node(tag, dict(attrs))
+        node.parent = self.stack[-1]
         self.stack[-1].children.append(node)
         self.stack[-1].content.append(node)
 
@@ -153,93 +157,162 @@ def _txt(node: Node | None) -> str | None:
     return node.text() if node is not None else None
 
 
+# -- CSS-combinator semantics (the soupsieve contract) -----------------------
+# BeautifulSoup's select_one evaluates a selector LIST ("a, b") and every
+# combinator GLOBALLY: the winner is the first element in DOCUMENT ORDER
+# matching ANY alternative, not "all matches of alternative 1 before any of
+# alternative 2", and "A > B" / "A B" match a B whose parent/ancestor is
+# ANY matching A, not the children of the first A found.  The helpers below
+# reproduce that: one document-order walk, predicate per alternative.
+# (Pinned by the cascade cases in tests/test_html_conformance.py.)
+
+def _doc_first(root: Node, *preds) -> Node | None:
+    """First node in document order satisfying ANY predicate — the
+    select_one("p1, p2, ...") selector-list semantics."""
+    for n in root.walk():
+        for p in preds:
+            if p(n):
+                return n
+    return None
+
+
+def _parent_is(n: Node, tag: str | None, *classes: str) -> bool:
+    """CSS child combinator 'A > B': B's parent element matches A."""
+    return (n.parent is not None
+            and n.parent.matches(tag, set(classes)))
+
+
+def _has_ancestor(n: Node, tag: str | None, *classes: str) -> bool:
+    """CSS descendant combinator 'A B': any proper ancestor matches A."""
+    cs = set(classes)
+    a = n.parent
+    while a is not None:
+        if a.matches(tag, cs):
+            return True
+        a = a.parent
+    return False
+
+
+def _prev_elem(n: Node) -> Node | None:
+    """Immediately-preceding ELEMENT sibling (CSS '+' ignores text)."""
+    if n.parent is None:
+        return None
+    sibs = n.parent.children
+    i = sibs.index(n)
+    return sibs[i - 1] if i > 0 else None
+
+
 def _username_cascade(root: Node) -> dict:
-    """The 8-way seller cascade, one payload key per selector so the
-    JVM-side coalesce applies the reference's exact order
-    (reference: parsers/car_page.py:82-126)."""
+    """The 8-way seller cascade, one payload key per reference select_one
+    CALL so the JVM-side coalesce applies the reference's exact priority
+    order between calls; combinators and in-call selector lists are
+    evaluated globally in document order (reference:
+    parsers/car_page.py:82-126)."""
     out: dict = {}
     out["seller_pro"] = _txt(root.select_one("a", "sellerPro"))
-    d = root.select_one("div", "seller_info_name")
-    out["seller_info_a"] = _txt(d.child_one("a")) if d else None
-    h4 = None
-    for un in root.select("div", "user-name"):
-        h4 = un.child_one("h4", "seller_info_name")
-        if h4 is not None:
-            break
-    if h4 is None:
-        for vs in root.select("div", "view-seller-info"):
-            h4 = vs.select_one(None, "seller_info_name")
-            if h4 is not None:
-                break
-    out["seller_user_h4"] = _txt(h4)
-    any_ = None
-    for si in root.select(None, "seller_info"):
-        any_ = si.select_one(None, "seller_info_name")
-        if any_ is not None:
-            break
-    out["seller_info_any"] = _txt(any_)
+    # div.seller_info_name > a — first qualifying <a> in document order
+    out["seller_info_a"] = _txt(_doc_first(
+        root, lambda n: n.tag == "a"
+        and _parent_is(n, "div", "seller_info_name")))
+    # "div.user-name > h4.seller_info_name, div.view-seller-info
+    #  .seller_info_name" — ONE selector list: document-order union
+    out["seller_user_h4"] = _txt(_doc_first(
+        root,
+        lambda n: n.matches("h4", {"seller_info_name"})
+        and _parent_is(n, "div", "user-name"),
+        lambda n: "seller_info_name" in n.classes
+        and _has_ancestor(n, "div", "view-seller-info")))
+    # .seller_info .seller_info_name — global descendant combinator
+    out["seller_info_any"] = _txt(_doc_first(
+        root, lambda n: "seller_info_name" in n.classes
+        and _has_ancestor(n, None, "seller_info")))
     out["seller_grey_bold"] = _txt(
         root.select_one("div", "seller_info_name", "grey", "bold"))
     out["seller_bold"] = _txt(
         root.select_one("div", "seller_info_name", "bold"))
-    h4a = root.select_one("h4", "seller_info_name")
-    out["seller_h4_a"] = _txt(h4a.child_one("a")) if h4a else None
+    # h4.seller_info_name > a
+    out["seller_h4_a"] = _txt(_doc_first(
+        root, lambda n: n.tag == "a"
+        and _parent_is(n, "h4", "seller_info_name")))
     return out
 
 
 def _vin_cascade(root: Node) -> dict:
-    out = {
-        "vin_label": _txt(root.select_one("span", "label-vin")),
-        "vin_code": _txt(root.select_one("span", "vin-code")),
-        "vin_checked": None,
-    }
-    # .vin-checked + .data-check .vin  (adjacent-sibling combinator)
-    def scan(parent: Node):
-        prev_checked = False
-        for c in parent.children:
-            if prev_checked and "data-check" in c.classes:
-                v = c.select_one(None, "vin")
-                if v is not None:
-                    return v
-            prev_checked = "vin-checked" in c.classes
-            got = scan(c)
-            if got is not None:
-                return got
-        return None
+    """ONE reference select_one over the 3-way list "span.label-vin,
+    span.vin-code, .vin-checked+.data-check .vin" — document-order union
+    (reference: parsers/car_page.py:196-201): the payload carries the
+    winner in its own key (others None) so the JVM-side coalesce
+    reproduces the union, not a fixed priority."""
+    def adjacent_vin(n: Node) -> bool:
+        # .vin-checked + .data-check .vin: n has class vin and a proper
+        # ancestor with class data-check whose immediately-preceding
+        # element sibling has class vin-checked
+        if "vin" not in n.classes:
+            return False
+        a = n.parent
+        while a is not None:
+            if "data-check" in a.classes:
+                prev = _prev_elem(a)
+                if prev is not None and "vin-checked" in prev.classes:
+                    return True
+            a = a.parent
+        return False
 
-    v = scan(root)
+    out = {"vin_label": None, "vin_code": None, "vin_checked": None}
+    v = _doc_first(root,
+                   lambda n: n.matches("span", {"label-vin"}),
+                   lambda n: n.matches("span", {"vin-code"}),
+                   adjacent_vin)
     if v is not None:
-        out["vin_checked"] = v.text()
+        key = ("vin_label" if v.matches("span", {"label-vin"})
+               else "vin_code" if v.matches("span", {"vin-code"})
+               else "vin_checked")
+        out[key] = v.text()
     return out
 
 
 def car_payload(html: str) -> dict:
     root = parse_html(html)
     p: dict = {}
-    p["title_h1"] = _txt(root.select_one("h1", "head"))
-    p["title_h3"] = _txt(root.select_one("h3", "auto-content_title"))
-    pv = root.select_one("div", "price_value")
-    p["price_text"] = _txt(pv.child_one("strong")) if pv else None
-    odo = None
-    bi = root.select_one("div", "base-information")
-    if bi is not None:
-        # select_one("span.size18.thin, span.size18") = document-order
-        # first span with size18 (the .thin variant is a subset match)
-        odo = bi.select_one("span", "size18")
-    p["odometer_text"] = _txt(odo)
+    # "h1.head, h3.auto-content_title" — ONE selector list: the winner is
+    # whichever appears first in the document; only ITS key is set so the
+    # JVM coalesce reproduces the union (reference: car_page.py:56-59)
+    p["title_h1"] = p["title_h3"] = None
+    t = _doc_first(root,
+                   lambda n: n.matches("h1", {"head"}),
+                   lambda n: n.matches("h3", {"auto-content_title"}))
+    if t is not None:
+        p["title_h1" if t.tag == "h1" else "title_h3"] = t.text()
+    # div.price_value > strong — global child combinator: the first
+    # qualifying <strong> anywhere, not "first price div, then child"
+    p["price_text"] = _txt(_doc_first(
+        root, lambda n: n.tag == "strong"
+        and _parent_is(n, "div", "price_value")))
+    # "div.base-information span.size18.thin, div.base-information
+    #  span.size18" — union = first span.size18 under ANY base-information
+    # in document order (.thin is a subset match, so the list collapses)
+    p["odometer_text"] = _txt(_doc_first(
+        root, lambda n: n.matches("span", {"size18"})
+        and _has_ancestor(n, "div", "base-information")))
     p.update(_username_cascade(root))
-    photo = root.select_one("div", "photo-620x465")
+    # div.photo-620x465 img.outline.m-auto[src] (global descendant), then
+    # the div.photo-620x465 img[src] fallback (reference: :153-165);
+    # [src] is attribute PRESENCE, matching the reference's has_attr gate
     p["image_main"] = p["image_any"] = p["image_id"] = None
-    if photo is not None:
-        main = photo.select_one("img", "outline", "m-auto")
-        if main is not None and main.attrs.get("src"):
-            p["image_main"] = main.attrs["src"]
-            p["image_id"] = main.attrs.get("data-image-id")
-        anyimg = photo.select_one("img")
-        if anyimg is not None and anyimg.attrs.get("src"):
-            p["image_any"] = anyimg.attrs["src"]
-            if p["image_id"] is None:
-                p["image_id"] = anyimg.attrs.get("data-image-id")
+    main = _doc_first(
+        root, lambda n: n.tag == "img" and "src" in n.attrs
+        and {"outline", "m-auto"} <= n.classes
+        and _has_ancestor(n, "div", "photo-620x465"))
+    if main is not None:
+        p["image_main"] = main.attrs["src"]
+        p["image_id"] = main.attrs.get("data-image-id")
+    anyimg = _doc_first(
+        root, lambda n: n.tag == "img" and "src" in n.attrs
+        and _has_ancestor(n, "div", "photo-620x465"))
+    if anyimg is not None:
+        p["image_any"] = anyimg.attrs["src"]
+        if p["image_id"] is None:
+            p["image_id"] = anyimg.attrs.get("data-image-id")
     p["show_all_text"] = _txt(root.select_one("a", "show-all"))
     plate = root.select_one("span", "state-num")
     p["plate_text"] = plate.direct_text() if plate is not None else None

@@ -188,3 +188,168 @@ def test_hash_expires_script_first_then_any_element():
     html2 = '<div data-hash="dh" data-expires="de">x</div>'
     p2 = car_payload(html2)
     assert (p2["data_hash"], p2["data_expires"]) == ("dh", "de")
+
+
+# --- cascade-semantics corpus (round 6): the CSS selector-LIST and global
+# combinator rules the reference's select_one calls rely on.  soupsieve
+# evaluates "a, b" as a document-order UNION and "A > B" / "A B" globally;
+# every expectation below is hand-computed from those rules against the
+# reference's exact selectors (parsers/car_page.py:56-223).
+
+
+def test_title_union_is_document_order_not_priority():
+    # select_one("h1.head, h3.auto-content_title"): whichever matches
+    # FIRST IN THE DOCUMENT wins — an earlier h3 beats a later h1
+    p = car_payload('<h3 class="auto-content_title">H3 first</h3>'
+                    '<h1 class="head">H1 later</h1>')
+    assert p["title_h3"] == "H3 first"
+    assert p["title_h1"] is None  # the JVM coalesce must see ONLY the winner
+    p2 = car_payload('<h1 class="head">H1 first</h1>'
+                     '<h3 class="auto-content_title">H3 later</h3>')
+    assert p2["title_h1"] == "H1 first"
+    assert p2["title_h3"] is None
+
+
+def test_price_child_combinator_matches_any_price_div():
+    # div.price_value > strong is GLOBAL: an empty first price div must
+    # not mask a later one that has the <strong>
+    p = car_payload('<div class="price_value">grn only</div>'
+                    '<div class="price_value"><strong>7 500 $</strong></div>')
+    assert p["price_text"] == "7 500 $"
+
+
+def test_price_child_combinator_nested_price_divs():
+    # the <strong> is a direct child of the INNER price_value div — the
+    # combinator matches against any qualifying parent, so it hits even
+    # though it is not a direct child of the outer one
+    p = car_payload('<div class="price_value"><div class="price_value">'
+                    '<strong>3 100 $</strong></div></div>')
+    assert p["price_text"] == "3 100 $"
+
+
+def test_odometer_descendant_matches_any_base_information():
+    # div.base-information span.size18: a first base-information block
+    # without the span must not mask a later block that has it
+    p = car_payload('<div class="base-information"><b>no span</b></div>'
+                    '<div class="base-information"><p>'
+                    '<span class="size18">42 тис. км</span></p></div>')
+    assert p["odometer_text"] == "42 тис. км"
+
+
+def test_seller_info_a_child_combinator_is_global():
+    # div.seller_info_name > a: the first div's <a> is nested in a <span>
+    # (NOT a direct child) — the selector must fall through to the
+    # second div's direct-child <a>
+    p = car_payload('<div class="seller_info_name"><span><a>Nested</a>'
+                    '</span></div>'
+                    '<div class="seller_info_name"><a>Direct</a></div>')
+    assert p["seller_info_a"] == "Direct"
+
+
+def test_seller_union_view_seller_info_beats_later_user_name():
+    # ONE select_one("div.user-name > h4.seller_info_name,
+    # div.view-seller-info .seller_info_name"): the view-seller-info
+    # descendant appears first in the document, so it wins the union
+    # even though the user-name alternative is written first
+    p = car_payload(
+        '<div class="view-seller-info"><p><span class="seller_info_name">'
+        'From View</span></p></div>'
+        '<div class="user-name"><h4 class="seller_info_name">From H4</h4>'
+        '</div>')
+    assert p["seller_user_h4"] == "From View"
+
+
+def test_seller_h4_a_child_combinator_is_global():
+    # h4.seller_info_name > a: first h4 has only nested (non-child) <a>;
+    # the global combinator finds the second h4's direct child
+    p = car_payload('<h4 class="seller_info_name"><em><a>No</a></em></h4>'
+                    '<h4 class="seller_info_name"><a>Yes</a></h4>')
+    assert p["seller_h4_a"] == "Yes"
+
+
+def test_vin_union_is_document_order_not_priority():
+    # select_one("span.label-vin, span.vin-code, ...") — an earlier
+    # vin-code beats a later label-vin (document order, not list order)
+    p = car_payload('<span class="vin-code">VINCODE111</span>'
+                    '<span class="label-vin">LABEL222</span>')
+    assert p["vin_code"] == "VINCODE111"
+    assert p["vin_label"] is None
+    # ... and an adjacent-sibling match earlier in the document beats both
+    p2 = car_payload(
+        '<div><span class="vin-checked">ok</span>'
+        '<div class="data-check"><span class="vin">ADJ333</span></div></div>'
+        '<span class="label-vin">LABEL444</span>')
+    assert p2["vin_checked"] == "ADJ333"
+    assert p2["vin_label"] is None
+
+
+def test_vin_adjacent_descendant_at_depth_and_adjacency_on_data_check():
+    # .vin-checked+.data-check .vin: the .vin may sit at ANY depth under
+    # the adjacent .data-check ...
+    p = car_payload('<span class="vin-checked">i</span>'
+                    '<div class="data-check"><p><b>'
+                    '<span class="vin">DEEP555</span></b></p></div>')
+    assert p["vin_checked"] == "DEEP555"
+    # ... but the adjacency is on the .data-check ELEMENT itself: wrapping
+    # it in another div breaks the + relation even though the wrapper is
+    # adjacent to .vin-checked
+    p2 = car_payload('<span class="vin-checked">i</span>'
+                     '<div><div class="data-check">'
+                     '<span class="vin">NO666</span></div></div>')
+    assert p2["vin_checked"] is None
+
+
+def test_image_selectors_are_global_across_photo_divs():
+    # main: div.photo-620x465 img.outline.m-auto[src] anywhere; any:
+    # div.photo-620x465 img[src] — first in document order, so the plain
+    # img in the FIRST photo div supplies image_any while the SECOND
+    # div's decorated img supplies image_main
+    p = car_payload(
+        '<div class="photo-620x465"><img src="https://cdn/plain.jpg"></div>'
+        '<div class="photo-620x465"><img class="outline m-auto" '
+        'src="https://cdn/main.jpg" data-image-id="img9"></div>')
+    assert p["image_main"] == "https://cdn/main.jpg"
+    assert p["image_any"] == "https://cdn/plain.jpg"
+    assert p["image_id"] == "img9"
+
+
+def test_image_src_attribute_presence_not_truthiness():
+    # [src] is attribute PRESENCE (and the reference then returns the raw
+    # value via has_attr): an empty src still matches img.outline.m-auto
+    p = car_payload('<div class="photo-620x465">'
+                    '<img class="outline m-auto" src=""></div>')
+    assert p["image_main"] == ""
+
+
+def test_plate_direct_text_skips_leading_child_element():
+    # find(text=True, recursive=False) returns the first DIRECT string in
+    # order — child elements before it are skipped, children after it
+    # (the popup span) never bleed in
+    html = ('<span class="state-num"><i>ua</i>AA 1234 BB'
+            '<span>popup text</span></span>')
+    assert car_payload(html)["plate_text"] == "AA 1234 BB"
+
+
+def test_entities_decode_in_attribute_values():
+    # charrefs decode inside attribute VALUES exactly as in text (html5
+    # tokenizer rule; BeautifulSoup does the same)
+    html = ('<section class="ticket-item"><a class="m-link-ticket" '
+            'href="https://auto.ria.test/auto_a&amp;b_1.html">x</a>'
+            '</section>'
+            '<script data-hash="h&#65;sh" data-expires="2&amp;2"></script>')
+    lp = listing_payload(html)
+    assert json.loads(lp["links"]) == ["https://auto.ria.test/auto_a&b_1.html"]
+    cp = car_payload(html)
+    assert (cp["data_hash"], cp["data_expires"]) == ("hAsh", "2&2")
+
+
+def test_listing_nested_ticket_items_duplicate_like_reference():
+    # soup.select("section.ticket-item") returns BOTH the outer and the
+    # nested section; item.select_one then finds the same descendant <a>
+    # from each — the reference emits the link twice and so do we (the
+    # engine's F1 first-occurrence dedup collapses it downstream)
+    html = ('<section class="ticket-item"><section class="ticket-item">'
+            '<a class="m-link-ticket" href="https://auto.ria.test/c9.html">'
+            'x</a></section></section>')
+    assert json.loads(listing_payload(html)["links"]) == [
+        "https://auto.ria.test/c9.html", "https://auto.ria.test/c9.html"]
