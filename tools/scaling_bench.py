@@ -41,6 +41,12 @@ def gen_world(out: str, hosts: int, cars_per_host: int) -> None:
         .write.mode("overwrite").parquet(f"{out}/pages")
     worldgen.corpus_df(spark, n_images, partitions=128) \
         .write.mode("overwrite").parquet(f"{out}/corpus")
+    # manifest: the summary's `world` field is read from HERE, never from
+    # the CLI args — a pre-existing world dir (gen skipped) would
+    # otherwise be silently mislabeled with whatever sizes the caller
+    # passed this time
+    with open(f"{out}/world.json", "w") as fh:
+        json.dump({"hosts": hosts, "cars_total": hosts * cars_per_host}, fh)
     print(json.dumps({"phase": "gen", "pages": out, "images": n_images}))
     spark.stop()
 
@@ -317,8 +323,19 @@ def main() -> None:
     import time
     summary["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
-    summary["world"] = {"hosts": args.hosts,
-                        "cars_total": args.cars_total}
+    # world sizes from the gen-time manifest, not the CLI args: with a
+    # pre-existing world dir the args describe what the caller ASKED for,
+    # not what is on disk
+    try:
+        with open(f"{args.out}/world.json") as fh:
+            summary["world"] = json.load(fh)
+    except OSError:
+        summary["world"] = {
+            "note": "pre-existing world dir without a manifest — sizes "
+                    "unknown; per-leg urls_fetched above is the record",
+            "urls_fetched_per_leg": {
+                c: results[c].get("urls_fetched") for c in cs},
+        }
     summary["criterion"] = (
         "north-rule gate: raw scaling_efficiency >= 0.8 at the recorded "
         "core pair. same_day_control is a same-session multiprocessing "
