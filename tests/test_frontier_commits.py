@@ -164,3 +164,27 @@ def test_resolve_log_tombstone_semantics(spark):
     live = {r["url_hash"]: r["discovered_wave"]
             for r in resolve_log(raw, "url_hash", FRONTIER_COLS).collect()}
     assert set(live) == {1, 3, 4}
+
+
+def test_finalize_contract_for_standalone_run_wave_callers(
+        spark, tmp_path):
+    """run_wave's documented contract: the per-wave write-volume
+    accounting is only persisted by finalize() — standalone callers that
+    drive waves themselves must call it, after which the O(delta)
+    evidence rows are durably in the metrics table and the in-memory
+    logs are drained (idempotent on a second call)."""
+    eng = _saturated_engine(spark, tmp_path, "fin")
+    eng.run_wave(0, defer_commits=False)
+    eng.run_wave(1, defer_commits=False)
+    assert eng._state_meta, "waves should accumulate in-memory accounting"
+    assert not _state_metrics(eng, "frontier"), \
+        "write-volume must not be durable before finalize()"
+    eng.finalize()
+    assert not eng._state_meta
+    m = _state_metrics(eng, "frontier")
+    assert set(m) == {0, 1}
+    for v in m.values():
+        assert v["rows_written"] >= 0 and v["rows_live"] > 0
+    eng.finalize()  # idempotent: nothing accumulated, no new rows
+    assert {r["wave"] for r in _state_metrics(eng, "frontier").values()
+            } == {0, 1}
