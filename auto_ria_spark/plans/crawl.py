@@ -428,14 +428,29 @@ class CrawlEngine:
         """
         cfg, spark = self.cfg, self.spark
         w = self.last_complete_wave()
+        # build on the CONSISTENT cut, not on whatever current() holds: a
+        # crash can leave some tables one wave ahead (torn commit), and
+        # the append-mode frontier commit below would otherwise carry the
+        # torn wave's delta files into a wave-w-tagged snapshot that a
+        # later resume() rollback could no longer shed
+        for name in TABLES:
+            self.t[name].rollback_to_tag("wave", w)
+        self._log_rows = None  # rollback moved the log: re-size on read
         tag = {"wave": w}
         nf = max(2, cfg.shuffle_partitions // 8)
         url_df = (urls if isinstance(urls, DataFrame)
                   else local_df(spark, [(u,) for u in urls], "url string"))
+        # materialize the stale set ONCE: every write below (cars
+        # anti-join, saved_hashes, requeue) re-evaluates its plan, and a
+        # nondeterministic caller DataFrame (sample/limit/rand) would
+        # otherwise delete one set of listings and requeue another —
+        # permanently losing rows (seen entries are deliberately kept, so
+        # a dropped-but-not-requeued URL can never be re-discovered)
         stale = (
             url_df
             .select(U.canonicalize_url(F.col("url")).alias("url_norm"))
             .withColumn("url_hash", U.url_hash64(F.col("url_norm")))
+            .localCheckpoint()
         )
         seen = self._read("seen_urls", SEEN_SCHEMA)
         stale_seen = seen.join(

@@ -824,8 +824,10 @@ def ivf_cells(spark, sf_dir):
     # fixed-width centroid-update aggregate
     row = vq.groupBy().agg(F.count("*").alias("n"),
                            F.max("qq").alias("max_qq"),
-                           F.max(F.size("qe")).alias("dim")).first()
+                           F.max(F.size("qe")).alias("dim"),
+                           F.max("vec_id").alias("max_vid")).first()
     n_total, max_qq, dim = row["n"], row["max_qq"] or 0.0, row["dim"] or 0
+    max_vid = row["max_vid"] if row["max_vid"] is not None else -1
     k = max(4, math.isqrt(n_total))
     if k > _IVF_MAX_DRIVER_K:
         raise ValueError(
@@ -850,6 +852,19 @@ def ivf_cells(spark, sf_dir):
             f"{n_total * n_total * max_qq:.3e} ≥ 2^52; DuckDB-parity is "
             "no longer guaranteed — reduce the quantization scale")
     stride = ivf_train_stride(n_total, k)
+    # The deterministic id-stride sample (vec_id % s == 0) assumes DENSE
+    # CONTIGUOUS vec_ids 0..N-1 — the predicate pushes to the parquet scan
+    # (zero-shuffle; a row_number-based sample would cost a full sort at
+    # 10^10 rows), but on gapped ids it silently under-samples or comes
+    # back empty.  Assert the assumption instead of assuming it (max_vid
+    # rides in the same sizing job).  stride == 1 trains on everything,
+    # so gapped ids are fine there (the order-based init handles them).
+    if stride > 1 and max_vid != n_total - 1:
+        raise ValueError(
+            f"IVF training stride {stride} requires dense contiguous "
+            f"vec_ids 0..N-1 (max vec_id {max_vid}, N {n_total}): the "
+            "vec_id % stride sample would be skewed or empty — "
+            "re-densify vec_ids or lower _IVF_TRAIN_PER_K")
     vt = (vq.filter(F.col("vec_id") % stride == 0).cache()
           if stride > 1 else vq)
 

@@ -260,6 +260,9 @@ def compact_line(out: dict) -> str:
                               for k in sorted(compact["queries"])[:20]}
         compact["queries_truncated"] = True
         line = json.dumps(compact)
+    if len(line) > 1800:  # hard floor: drop queries entirely — a headline
+        compact["queries"] = {}  # without per-query beats an unparseable tail
+        line = json.dumps(compact)
     return line
 
 

@@ -267,6 +267,43 @@ def test_recrawl_dataframe_path(spark, tmp_path):
         k=3, via_df=True)
 
 
+def test_recrawl_on_torn_warehouse_builds_on_consistent_cut(
+        spark, tmp_path):
+    """A crash can leave the frontier one wave ahead of the other tables;
+    recrawl() must roll back to the consistent cut FIRST — its append
+    commit would otherwise carry the torn wave's delta files into a
+    snapshot tagged with the cut wave, which a later resume() rollback
+    could never shed."""
+    from auto_ria_spark.plans.crawl import (FRONTIER_COLS, FRONTIER_SCHEMA,
+                                            log_adds)
+    from auto_ria_spark.util import local_df
+
+    cfg = _cfg(seen_filter="cuckoo", cuckoo_buckets_per_shard=1 << 10)
+    eng, oracle, _ = run_both(spark, tmp_path, cfg, cars_per_host=60,
+                              page_size=20)
+    before_cars, before_seen = _cars_by_url(eng), _seen_identity(eng)
+    w = eng.last_complete_wave()
+    pre_files = set(eng.t["frontier"].current()["files"])
+    junk = local_df(
+        spark,
+        [("https://auto.ria.test/torn.html", 1, "auto.ria.test", "car",
+          2, 0, 0, 0, 0, 1, 0, None, None)], FRONTIER_SCHEMA)
+    torn = eng.t["frontier"].write(
+        log_adds(junk, w + 1, FRONTIER_COLS), "append", {"wave": w + 1})
+    torn_files = set(torn["files"]) - pre_files
+    assert torn_files
+    stale = sorted(before_cars)[:2]
+    eng.recrawl(stale)
+    # the recrawl built on the rolled-back cut: no torn file survives
+    assert not (torn_files & set(eng.t["frontier"].current()["files"]))
+    stats = eng.run(seeds=None)
+    # exactly the stale set re-fetches (the torn junk row is gone too)
+    assert sum(s.selected for s in stats) == 4
+    assert sum(s.saved for s in stats) == 2
+    assert _cars_by_url(eng) == before_cars
+    assert _seen_identity(eng) == before_seen
+
+
 def test_golden_crawl_robots(spark, tmp_path):
     robots = [
         {"host": "auto.ria.test", "path_prefix": "/auto_bmw", "allowed": False},

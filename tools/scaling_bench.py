@@ -329,7 +329,10 @@ def main() -> None:
     try:
         with open(f"{args.out}/world.json") as fh:
             summary["world"] = json.load(fh)
-    except OSError:
+    # ValueError covers a truncated/corrupt manifest (gen killed mid-write
+    # — the parquet-existence check still skips regen): the summary of a
+    # multi-hour session must never die on its last line
+    except (OSError, ValueError):
         summary["world"] = {
             "note": "pre-existing world dir without a manifest — sizes "
                     "unknown; per-leg urls_fetched above is the record",
