@@ -72,34 +72,53 @@ def _top_b_exprs(budget: int, order_cols: tuple, salt_n: int):
     return per[key]
 
 
+def salt_n_for(pending_bound: int, salt_target: int) -> int:
+    """Adaptive phase-1 salt width: enough sub-partitions that no salted
+    group exceeds ~``salt_target`` rows, given an UPPER BOUND on the
+    hottest host's pending count.  1 ⟹ the two-phase construction
+    degenerates to a single exact window (top_b_per_host skips phase 1 —
+    one exchange+sort instead of two); capped so phase 2 stays tiny
+    (salt_n·B rows per host) even under a wildly conservative bound."""
+    if pending_bound <= salt_target:
+        return 1
+    return min(-(-pending_bound // salt_target), 1 << 14)
+
+
 def top_b_per_host(
     df: DataFrame,
     budget: int,
     order_cols: list[str],
     *,
     salt_n: int = 64,
-    salted_threshold: int = 10_000,
 ) -> DataFrame:
     """Deterministic top-``budget`` rows per host, ordered by ``order_cols``.
 
-    Two-phase salted top-k (see module docstring).  ``order_cols`` must be a
-    total order within a host (we use the crawl-order key) so the selection
-    is reproducible run-over-run.
+    Two-phase salted top-k (see module docstring); with ``salt_n <= 1``
+    the salted pre-pass is pure overhead (one global window already sees
+    bounded partitions) and is skipped outright — the engine sizes
+    ``salt_n`` per wave from observed pending counts (``salt_n_for``), so
+    small frontiers pay a single window while a 10^10-row hot host gets
+    ``ceil(pending / salt_target)`` phase-1 partitions.  ``order_cols``
+    must be a total order within a host (we use the crawl-order key) so
+    the selection is reproducible run-over-run — and therefore identical
+    for every ``salt_n`` (phase 1 keeps each salted group's top-B, a
+    superset of the host's global top-B).
     """
     if budget <= 0:
         return df.limit(0)
     salt, r1, r1_ok, r2, r2_ok = _top_b_exprs(
-        budget, tuple(order_cols), salt_n)
-    # phase 1: salted pre-top-B (bounded window partitions)
-    pre = (
-        df.withColumn("__salt", salt)
-        .withColumn("__r1", r1)
-        .filter(r1_ok)
-        .drop("__r1", "__salt")
-    )
+        budget, tuple(order_cols), max(salt_n, 1))
+    if salt_n > 1:
+        # phase 1: salted pre-top-B (bounded window partitions)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__r1", r1)
+            .filter(r1_ok)
+            .drop("__r1", "__salt")
+        )
     # phase 2: exact per-host top-B over <= salt_n * budget survivors
     return (
-        pre.withColumn("__r2", r2)
+        df.withColumn("__r2", r2)
         .filter(r2_ok)
         .drop("__r2")
     )

@@ -58,7 +58,8 @@ from auto_ria_spark.config import CrawlConfig
 from auto_ria_spark.functions import extract as X
 from auto_ria_spark.functions import urls as U
 from auto_ria_spark.operators import bloom
-from auto_ria_spark.operators.politeness import robots_gate, top_b_per_host
+from auto_ria_spark.operators.politeness import (robots_gate, salt_n_for,
+                                                 top_b_per_host)
 from auto_ria_spark.sources.fetch import fetched_frontier
 from auto_ria_spark.sources.warehouse import Warehouse
 from auto_ria_spark.util import empty_df, local_df
@@ -125,21 +126,31 @@ PENDING_COLS = [f.strip().split(" ", 1)[0] for f in PENDING_SCHEMA.split(",")]
 
 
 def log_adds(df: DataFrame, wave: int, cols: list[str]) -> DataFrame:
-    """Stamp live rows as wave-``wave`` additions of the delta log."""
-    return df.select(*cols, F.lit("a").alias("__op"),
-                     F.lit(wave).alias("__fwave"))
+    """Stamp live rows as wave-``wave`` additions of the delta log.
+    One selectExpr — a single server-side parse instead of per-column
+    py4j Column construction (this runs on every wave's commit path)."""
+    return df.selectExpr(*cols, "'a' as __op",
+                         f"cast({wave} as int) as __fwave")
+
+
+_LOG_DEL_EXPRS: dict[tuple, list[str]] = {}
 
 
 def log_dels(keys: DataFrame, wave: int, schema: str, key: str) -> DataFrame:
     """Tombstone rows: the key column + nulls for the rest of the schema
-    (parquet nulls — a tombstone costs bytes only for the key)."""
-    cols = []
-    for part in schema.split(","):
-        name, typ = part.strip().split(" ", 1)
-        cols.append(F.col(key).alias(name) if name == key
-                    else F.lit(None).cast(typ).alias(name))
-    return keys.select(*cols, F.lit("d").alias("__op"),
-                       F.lit(wave).alias("__fwave"))
+    (parquet nulls — a tombstone costs bytes only for the key).  The
+    expression strings are schema-constant and cached; the whole
+    projection is ONE selectExpr (py4j round trips off the wave path)."""
+    exprs = _LOG_DEL_EXPRS.get((schema, key))
+    if exprs is None:
+        exprs = []
+        for part in schema.split(","):
+            name, typ = part.strip().split(" ", 1)
+            exprs.append(f"{key} as {name}" if name == key
+                         else f"cast(null as {typ}) as {name}")
+        _LOG_DEL_EXPRS[(schema, key)] = exprs
+    return keys.selectExpr(*exprs, "'d' as __op",
+                           f"cast({wave} as int) as __fwave")
 
 
 def resolve_log(raw: DataFrame, key: str, cols: list[str]) -> DataFrame:
@@ -293,16 +304,74 @@ class CrawlEngine:
         # sharded filter commit — flushed to the metrics table at run()
         # end (write-amplification evidence)
         self._filter_log: list[tuple] = []
+        # intra-wave shared-stage caches (see _stage_share): current
+        # wave's frames + the previous wave's (still feeding that wave's
+        # in-flight async commits); rotated/released at the per-wave
+        # drain barrier
+        self._stage_caches: list[DataFrame] = []
+        self._stage_caches_prev: list[DataFrame] = []
         # delta-log accounting: persisted log row counts (for the
         # compaction decision) + per-(wave, table) write-volume records —
         # flushed to the metrics table at run() end like _filter_log
         self._log_rows: dict[str, int] | None = None
         self._state_meta: dict[tuple, dict] = {}
+        # hottest-host pending upper bound (drives adaptive top-B salt
+        # sizing, C6): measured by each wave's stats job off
+        # frontier_next; None until the first wave of a run ⇒ fall back
+        # to the frontier log size (a free, conservative bound from the
+        # parquet footers)
+        self._hostmax: int | None = None
 
     def _drain_writes(self) -> None:
         futs, self._write_futs = self._write_futs, []
         for f in futs:
             f.result()
+
+    def _stage_share(self, df: DataFrame) -> DataFrame:
+        """Intra-wave shared stage result: a lazy ``persist()``
+        registration (one O(1) py4j call — NO Catalyst work on the
+        driver's critical path) plus the async warm count, which pays
+        analysis/optimization/whole-stage-codegen and materializes the
+        cache in the background thread.
+
+        Replaces the former per-stage ``localCheckpoint(eager=False)``
+        stubs: a lazy checkpoint still calls ``queryExecution.toRdd``,
+        which runs the FULL optimizer + physical planning + Janino
+        codegen compile synchronously on the driver — measured at
+        0.3-1.0 s per stub (tracker phases: ~50 ms Catalyst, the rest
+        codegen compile, re-done every wave because the wave/ts literals
+        make each wave's generated source a cache miss).  Six stubs per
+        wave made that the single largest per-wave driver cost.
+
+        Intra-wave frames do not need lineage TRUNCATION (the wave-end
+        state checkpoints still cut lineage once per wave); they only
+        need to compute once across their multiple consumers, which the
+        SQL cache provides via analyzed-plan substitution.  Caches are
+        released after the wave's async commits land (the rotation at
+        the per-wave drain barrier), so storage stays O(2 waves)."""
+        if self.cfg.stage_share_mode == "persist":
+            df = df.persist()
+            self._stage_caches.append(df)
+            return self._warm(df)
+        return self._warm(df.localCheckpoint(eager=False))
+
+    def _release_stage_caches(self, all_waves: bool = False) -> None:
+        """Unpersist stage caches whose consumers have all completed:
+        called right after a drain barrier, when the PREVIOUS wave's
+        async commits (the last readers of its stage frames) have
+        landed.  ``all_waves`` additionally releases the current wave's
+        frames (finalize path)."""
+        done, self._stage_caches_prev = (self._stage_caches_prev,
+                                         self._stage_caches)
+        self._stage_caches = []
+        if all_waves:
+            done = done + self._stage_caches_prev
+            self._stage_caches_prev = []
+        for df in done:
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
 
     # ---------------------------------------------------------------- filters
     # The URL-seen filter is pluggable (cfg.seen_filter): Bloom shards are
@@ -389,6 +458,7 @@ class CrawlEngine:
         for name in TABLES:
             self.t[name].rollback_to_tag("wave", w)
         self._log_rows = None  # rollback moved the log: re-size on read
+        self._hostmax = None   # stale bound: re-derive from the log size
         # rebuild the derived F2 saved-set from the rolled-back cars table
         # (one job per resume — waves then append incrementally, never
         # rescanning cars)
@@ -436,6 +506,7 @@ class CrawlEngine:
         for name in TABLES:
             self.t[name].rollback_to_tag("wave", w)
         self._log_rows = None  # rollback moved the log: re-size on read
+        self._hostmax = None   # requeue grows pending: re-bound from log
         tag = {"wave": w}
         nf = max(2, cfg.shuffle_partitions // 8)
         url_df = (urls if isinstance(urls, DataFrame)
@@ -718,16 +789,29 @@ class CrawlEngine:
                 from auto_ria_spark.functions import html_extract
                 f = html_extract.payloads_from_html(
                     f, E["fetched_cols"], E["fetched_schema_full"])
-            return self._warm(
-                f.withColumn("__pid", E["pid"])
-                .localCheckpoint(eager=False))
+            return self._stage_share(f.withColumn("__pid", E["pid"]))
 
         eligible = frontier.filter(F.col("not_before") <= F.lit(ts))
+
+        # C6 adaptive salt sizing: phase-1 salt width from the hottest
+        # host's observed pending count (previous wave's stats job; first
+        # wave bounds by the frontier log size from the parquet footers —
+        # free and conservative).  Small frontiers collapse top-B to ONE
+        # window (salt_n == 1 skips the salted pre-pass — one less
+        # exchange+sort in each of the three stages per wave); a 10^10-row
+        # hot host gets ceil(pending / salt_target) phase-1 partitions
+        # instead of the old fixed 64.  The bound can lag one wave's
+        # discoveries (budget-bounded per host), which at most leaves one
+        # wave's window partitions slightly above salt_target.
+        salt_n = salt_n_for(
+            self._hostmax if self._hostmax is not None
+            else self._log_rows["frontier"], cfg.salt_target)
 
         # -- stage L: listing fetch + discovery -------------------------------
         listing_sel = top_b_per_host(
             eligible.filter(E["kind_lst"]),
-            cfg.listing_budget, ["kind_rank", "page_index", "url_norm"])
+            cfg.listing_budget, ["kind_rank", "page_index", "url_norm"],
+            salt_n=salt_n)
         lf = _fetch(listing_sel)
         (new_links, next_pages, seen_only, host_state_next,
          flagged) = self._discover(
@@ -749,7 +833,8 @@ class CrawlEngine:
                          "discovery_rank"]
         else:
             car_order = ["discovery_rank"]
-        car_sel = top_b_per_host(car_cand, cfg.host_budget, car_order)
+        car_sel = top_b_per_host(car_cand, cfg.host_budget, car_order,
+                                 salt_n=salt_n)
         cf = _fetch(car_sel)
         new_pending, phone_rows, parsed = \
             self._parse_cars(cf.filter(E["status_ok"]), wave)
@@ -757,12 +842,13 @@ class CrawlEngine:
 
         # -- stage P: phone fetch + assembly + save ---------------------------
         ph_cand = eligible.filter(E["kind_phone"]).unionByName(phone_rows)
-        ph_sel = top_b_per_host(ph_cand, cfg.phone_budget, ["discovery_rank"])
+        ph_sel = top_b_per_host(ph_cand, cfg.phone_budget, ["discovery_rank"],
+                                salt_n=salt_n)
         pf = _fetch(ph_sel)
         pending_all = pending.unionByName(new_pending)
         saved_rows, resolved_hashes = self._resolve_phones(
             pf.filter(E["status_ok"]), pending_all)
-        saved_rows = self._warm(saved_rows.localCheckpoint(eager=False))
+        saved_rows = self._stage_share(saved_rows)
         _mark("plan_P")
 
         # -- retries / errors ---------------------------------------------------
@@ -848,14 +934,31 @@ class CrawlEngine:
             # stage V: validate each saved car's photo against the corpus
             return self._verify_images(saved_rows, wave)
 
-        with ThreadPoolExecutor(max_workers=5) as pex:
-            futs = [pex.submit(b) for b in
-                    (b_frontier, b_seen, b_pending, b_host_saved, b_imgs)]
+        pex = ThreadPoolExecutor(max_workers=5)
+        futs = [pex.submit(b) for b in
+                (b_frontier, b_seen, b_pending, b_host_saved, b_imgs)]
+        # branch-independent stats/metrics plans build HERE, overlapping
+        # the branches' py4j/JVM work (their GIL-released socket waits)
+        wave_lit = F.lit(wave).alias("wave")
+        f_agg = fetched.groupBy().agg(*E["f_agg"])
+        c_agg = flagged.groupBy().agg(*E["c_agg"])
+        p_agg = parsed.groupBy().agg(*E["p_agg"])
+        per_part = fetched.groupBy("__pid", "kind").agg(*E["per_part_agg"])
+        metric_rows = per_part.select(
+            wave_lit, F.col("__pid").alias("partition_id"),
+            "kind", F.lit("fetched").alias("metric"),
+            F.col("fetched").cast("long").alias("value"),
+        ).unionByName(per_part.select(
+            wave_lit, F.col("__pid").alias("partition_id"),
+            "kind", F.lit("fetch_ok").alias("metric"),
+            F.col("ok").cast("long").alias("value")))
+        s_agg = saved_rows.groupBy().agg(*E["s_agg"])
         frontier_next = futs[0].result()
         seen_add, filters_next, seen_next_u = futs[1].result()
         pending_next = futs[2].result()
         host_state_next, saved_hash_rows, savedh_next_u = futs[3].result()
         imgs_next = futs[4].result()
+        pex.shutdown(wait=False)
         # O(delta) frontier/pending persistence: the pass-through state
         # keeps the full RESOLVED frames, but the durable commit appends
         # only this wave's additions + tombstones (see the delta-log notes
@@ -931,12 +1034,14 @@ class CrawlEngine:
         # -- ONE combined stats action ------------------------------------------
         # cross-join of single-row aggregates over each cached stage: one
         # job yields every wave counter at once (cheap — the stage caches
-        # are already materializing under the submitted writes/warms).
-        f_agg = fetched.groupBy().agg(*E["f_agg"])
-        c_agg = flagged.groupBy().agg(*E["c_agg"])
-        p_agg = parsed.groupBy().agg(*E["p_agg"])
-        s_agg = saved_rows.groupBy().agg(*E["s_agg"])
-        fl_agg = frontier_next.groupBy().agg(*E["fl_agg"])
+        # are already materializing under the submitted writes/warms;
+        # the branch-independent agg plans were built above, overlapped
+        # with the state-branch fan-out).
+        # two-level: per-host counts feed BOTH the global frontier_left
+        # and the hottest-host max that sizes the next wave's salt (C6) —
+        # one extra tiny exchange over ≤|hosts| partially-aggregated rows
+        fl_agg = (frontier_next.groupBy("host").agg(E["fl_host_agg"])
+                  .groupBy().agg(*E["fl_agg"]))
         sa_agg = seen_add.groupBy().agg(F.count("*").alias("sa_n"))
         # the pending LIVE count rides the one stats job (pending_next is
         # a materializing stub — one cheap count); the DELTA row counts do
@@ -957,17 +1062,6 @@ class CrawlEngine:
             sh_agg = savedh_next_u.groupBy().agg(F.count("*").alias("sh_n"))
             stats_df = stats_df.crossJoin(sn_agg).crossJoin(sh_agg)
 
-        # metrics / per-partition lineage (off the same warm caches)
-        wave_lit = F.lit(wave).alias("wave")
-        per_part = fetched.groupBy("__pid", "kind").agg(*E["per_part_agg"])
-        metric_rows = per_part.select(
-            wave_lit, F.col("__pid").alias("partition_id"),
-            "kind", F.lit("fetched").alias("metric"),
-            F.col("fetched").cast("long").alias("value"),
-        ).unionByName(per_part.select(
-            wave_lit, F.col("__pid").alias("partition_id"),
-            "kind", F.lit("fetch_ok").alias("metric"),
-            F.col("ok").cast("long").alias("value")))
         row = stats_df.first()
         _mark("stats_job")
         st.selected = row["f_n"] or 0
@@ -979,6 +1073,7 @@ class CrawlEngine:
         st.enqueued = st.discovered - st.skipped_db - (row["c_over"] or 0)
         st.saved = row["s_saved"] or 0
         st.frontier_left = row["fl_left"] or 0
+        self._hostmax = row["fl_hostmax"] or 0
 
         # the 12 summary metric rows are literals off the collected stats
         # row (range+explode keeps the plan JVM-only — no Python-worker
@@ -998,15 +1093,12 @@ class CrawlEngine:
             ("car", "saved", st.saved),
             ("all", "frontier_left", st.frontier_left),
         ]
-        summary = (
-            self.spark.range(1)
-            .select(F.explode(F.array(*[
-                F.struct(F.lit(k).alias("kind"), F.lit(m).alias("metric"),
-                         F.lit(int(v)).cast("long").alias("value"))
-                for k, m, v in summary_vals])).alias("s"))
-            .select(wave_lit, F.lit(-1).alias("partition_id"),
-                    "s.kind", "s.metric", "s.value")
-        )
+        structs = ",".join(
+            f"named_struct('kind','{k}','metric','{m}',"
+            f"'value',cast({int(v)} as bigint))" for k, m, v in summary_vals)
+        summary = self.spark.range(1).selectExpr(
+            f"cast({wave} as int) as wave", "cast(-1 as int) as partition_id",
+            f"inline(array({structs}))")
         write_queue.append(("metrics", "metrics",
                             metric_rows.unionByName(summary), "append", 1))
 
@@ -1035,6 +1127,9 @@ class CrawlEngine:
         # only compacts a little early.  bound == 0 ⟺ empty delta (drain
         # wave) ⟹ tag-only commit.
         self._drain_writes()
+        # the drained (previous) wave's async commits were the last
+        # consumers of its shared-stage caches — release them now
+        self._release_stage_caches()
         for name, table, delta, full, bound, live, cols in (
                 ("frontier", "frontier", frontier_delta, frontier_next,
                  (row["sa_n"] or 0) + st.requeued + st.selected,
@@ -1380,7 +1475,10 @@ class CrawlEngine:
                   .cast("int")).alias("p_nophone"),
         ]
         E["s_agg"] = [F.count("*").alias("s_saved")]
-        E["fl_agg"] = [F.count("*").alias("fl_left")]
+        E["fl_host_agg"] = F.count("*").alias("__hc")
+        E["fl_agg"] = [
+            F.coalesce(F.sum("__hc"), F.lit(0)).cast("long").alias("fl_left"),
+            F.max("__hc").alias("fl_hostmax")]
         E["per_part_agg"] = [
             F.count("*").alias("fetched"),
             F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0))
@@ -1453,14 +1551,12 @@ class CrawlEngine:
         # rescan of the cars table (which would be a full-table scan +
         # shuffle per wave at 10^8 saved cars);
         # F8: links ranked past max_cars are seen but never processed
-        flagged = (
+        flagged = self._stage_share(
             ranked.join(saved_hashes.select("url_hash", E["in_db_true"]),
                         "url_hash", "left")
             .withColumn("__in_db", E["in_db_fill"])
             .withColumn("__over", E["over_col"])
-            .localCheckpoint(eager=False)
         )
-        flagged = self._warm(flagged)
 
         new_links = flagged.filter(E["cond_new"]).select(
             *E["new_links_static"], wave_lit)
@@ -1503,9 +1599,7 @@ class CrawlEngine:
     def _parse_cars(self, car_ok: DataFrame, wave: int):
         """Car-page field projection (P2-P11, P14/P15) + F3 deleted drop."""
         E = self._exprs()
-        parsed = car_ok.select(*E["parsed_select"]) \
-            .localCheckpoint(eager=False)
-        parsed = self._warm(parsed)
+        parsed = self._stage_share(car_ok.select(*E["parsed_select"]))
         with_phone = (
             parsed.filter(E["not_deleted"])        # F3
             .filter(E["has_phone_url"])            # F4 (no handle)
@@ -1568,6 +1662,10 @@ class CrawlEngine:
         wave = first
         state = None
         pipeline = self.cfg.pipeline_waves
+        conf = self.spark.conf
+        aqe_before = conf.get("spark.sql.adaptive.enabled", "true")
+        if not self.cfg.aqe_in_wave:
+            conf.set("spark.sql.adaptive.enabled", "false")
         try:
             while wave < first + max_waves:
                 st = self.run_wave(wave, state=state,
@@ -1580,7 +1678,10 @@ class CrawlEngine:
                     break
                 wave += 1
         finally:
-            self.finalize()
+            try:
+                self.finalize()
+            finally:
+                conf.set("spark.sql.adaptive.enabled", aqe_before)
         return stats
 
     def finalize(self) -> None:
@@ -1593,6 +1694,7 @@ class CrawlEngine:
         frontier/pending write-volume evidence to the metrics table.
         Idempotent: a second call with nothing accumulated is a no-op."""
         self._drain_writes()
+        self._release_stage_caches(all_waves=True)
         if self._write_ex is not None:
             self._write_ex.shutdown(wait=True)
             self._write_ex = None

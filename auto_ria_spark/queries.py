@@ -119,15 +119,22 @@ def q_extract_fields(spark, sf_dir):
 
 def q_first_occurrence_dedup(spark, sf_dir):
     """F1 first-occurrence dedup (reference: autoria.py:266-271): first
-    (orderkey, linenumber) sighting of each part, in scan order."""
+    (orderkey, linenumber) sighting of each part, in scan order.
+
+    Shape: ``min(struct(order-key...))`` per part instead of a
+    row_number window — the aggregate gets map-side PARTIAL aggregation
+    (the exchange carries one row per (partition, partkey), not every
+    lineitem row) and skips the window's per-partition sort; struct
+    comparison is field-order lexicographic, exactly the window's
+    ORDER BY, and (l_orderkey, l_linenumber) is unique, so the selected
+    row is identical."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("l_partkey").alias("partkey"),
-                F.col("l_orderkey").alias("first_orderkey"),
-                F.col("l_linenumber").alias("first_linenumber"))
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.min(F.struct("l_orderkey", "l_linenumber")).alias("__m"))
+        .select("partkey",
+                F.col("__m.l_orderkey").alias("first_orderkey"),
+                F.col("__m.l_linenumber").alias("first_linenumber"))
     )
 
 
@@ -159,7 +166,16 @@ def q_politeness_topk(spark, sf_dir):
 
 def q_vin_dedup(spark, sf_dir):
     """J4 VIN dedup, lowest crawl rank wins (reference: db_utils.py:130-141):
-    one lineitem per suppkey keeping min (orderkey, linenumber)."""
+    one lineitem per suppkey keeping min (orderkey, linenumber).
+
+    Deliberately NOT rewritten to the min(struct(...)) partial-aggregate
+    shape of q_first_occurrence_dedup: the synthetic lineitem has rows
+    that TIE on (l_suppkey, l_orderkey, l_linenumber) while carrying
+    different prices (e.g. suppkey 9 at sf0.001), and the kept price is
+    payload the tie does not determine — both engines resolve the
+    row_number tie by scan order, which a value-based aggregate cannot
+    reproduce.  first_occurrence_dedup/dedup_exact have no such payload
+    column, so only they take the aggregate path."""
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
     return (
@@ -285,24 +301,18 @@ def _md5_long(col):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash: keep min doc_id per md5(text)."""
+    """Exact dedup by content hash: keep min doc_id per md5(text).
+    min-per-group aggregate (map-side partial agg — the exchange carries
+    one (hash, min_id) row per map partition) instead of a row_number
+    window over every document row; identical surviving rows."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
-        d.withColumn("content_md5", F.md5("text"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_md5")
     )
 
 
-# shingles from a pre-split words array attribute ``ws`` — NEVER inline
-# split(text) inside the lambda: higher-order lambdas re-evaluate their
-# captured subexpressions per element, turning 3 inlined splits into an
-# O(n_words^2) per-document blowup (profiled: the dominant minhash cost).
-_SHINGLE_FROM_WS = (
-    "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")
 _MINHASH_K = 8
 
 
@@ -319,18 +329,43 @@ def _minhash_sig8(d):
     carries only |docs| rows of 8 longs — never |shingles|×k exploded
     rows (the round-1 shape), and never an interpreted
     ``aggregate``-lambda md5 per (shingle, seed) (the round-3 first
-    attempt — profiled ~6× slower than codegen at sf0.1)."""
+    attempt — profiled ~6× slower than codegen at sf0.1).
+
+    Shingle construction explodes the INDEX range and builds each
+    shingle string post-explode with codegen'd array indexing +
+    concat_ws — the former shape materialized a full shingles array per
+    document through an interpreted (CodegenFallback) ``transform``
+    lambda before exploding it; same indices (SQL ``ws[i]`` is 0-based,
+    i ∈ 1..len-2 → words 0..len-1), same strings, zero interpreted
+    expressions.
+
+    Base-conversion placement (r7): ``conv(hex, 16, 10)`` is the
+    measured per-row hot spot (~80% of the signature wall), but md5 hex
+    is FIXED-LENGTH lowercase [0-9a-f], where lexicographic order equals
+    numeric order — so the min aggregates run directly on the 8-char
+    STRING slices and conv runs once per (doc, seed) on the aggregated
+    minima: |docs|·k conversions instead of |shingles|·k (~50× fewer
+    here), identical values."""
     wdf = d.select("doc_id", F.split("text", " ").alias("ws"))
-    sh = wdf.select("doc_id",
-                    F.explode(F.expr(_SHINGLE_FROM_WS)).alias("shingle"))
+    sh = (wdf.select(
+            "doc_id", "ws",
+            F.explode(F.expr("sequence(1, greatest(size(ws) - 2, 0))"))
+            .alias("i"))
+          .select("doc_id",
+                  F.expr("concat_ws(' ', ws[i-1], ws[i], ws[i+1])")
+                  .alias("shingle")))
     d1 = F.md5("shingle")
     d2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
-    hashed = sh.select("doc_id", *[
-        F.conv(F.substring(d1 if j < 4 else d2, (j % 4) * 8 + 1, 8),
-               16, 10).cast("long").alias(f"h{j}")
-        for j in range(_MINHASH_K)])
-    return hashed.groupBy("doc_id").agg(*[
-        F.min(f"h{j}").alias(f"m{j}") for j in range(_MINHASH_K)])
+    sliced = sh.select("doc_id", *[
+        F.substring(d1 if j < 4 else d2, (j % 4) * 8 + 1, 8)
+        .alias(f"s{j}") for j in range(_MINHASH_K)])
+    return (
+        sliced.groupBy("doc_id")
+        .agg(*[F.min(f"s{j}").alias(f"s{j}") for j in range(_MINHASH_K)])
+        .select("doc_id", *[
+            F.conv(F.col(f"s{j}"), 16, 10).cast("long").alias(f"m{j}")
+            for j in range(_MINHASH_K)])
+    )
 
 
 def _minhash_arr(d):
@@ -499,10 +534,23 @@ def q_dedup_components(spark, sf_dir, max_iters: int = 25):
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    d = load(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    # Only nodes INCIDENT to a candidate edge can ever leave their own
+    # singleton label (an isolated node has no neighbors to take a min
+    # over, and contributes nothing to any neighbor's min), so the
+    # iteration runs on the edge-endpoint set — orders of magnitude
+    # smaller than the corpus after banding + bucket caps — instead of
+    # joining every document row through every round.  Isolated docs are
+    # re-attached as their own component afterwards with one left join.
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("component"))
     out, _ = connected_components(labels, edges, max_iters=max_iters)
-    return out
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id").join(out.withColumnRenamed("component", "__c"),
+                                "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("__c"), F.col("doc_id")).alias("component"))
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -522,10 +570,14 @@ def q_simhash(spark, sf_dir):
     word occurrences vote for it (``2·count_set > n_words``, exactly the
     old +1/−1 vote-sum > 0, ties excluded).  The previous plan exploded
     every word row ×64 through a groupBy — a 64× shuffle-row blowup this
-    projection eliminates entirely."""
+    projection eliminates entirely.  (r7 re-measured the explode + 64
+    codegen conditional-sum aggregate alternative at 10× scale: 0.7-0.9 s
+    zero-shuffle vs 1.2-1.3 s for the agg — at ~54-word docs the
+    interpreted passes beat the shuffle + 65-buffer hash-agg overhead, so
+    the zero-shuffle shape stays.)"""
     d = load(spark, sf_dir, "documents")
     # staged projections: split once, md5 once per word, slice twice —
-    # attribute boundaries stop lambda re-evaluation (see _SHINGLE_FROM_WS)
+    # attribute boundaries stop lambda re-evaluation of captured exprs
     wdf = d.select("doc_id", F.split("text", " ").alias("ws"))
     hdf = wdf.select(
         "doc_id", F.size("ws").alias("nw"),
@@ -600,6 +652,14 @@ def _dot(a, b):
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+# NOTE (r7, measured dead end — do not redo): unrolling the dot product
+# into a flat 64-term codegen Add chain (`0.0D + a[0]*b[0] + ...`) is
+# bit-identical to the ``aggregate`` fold but ~2.8× SLOWER at 400k
+# scored pairs: the ~380-node expression trips the whole-stage-codegen
+# method-size fallback, and an interpreted Add chain evaluates worse
+# than the interpreted higher-order fold.  The lambda shape stays.
 
 
 _BRUTE_MAX_QUERIES = 64  # hard in-code gate on the crossJoin query side

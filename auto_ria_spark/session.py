@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # static conf: the JVM-wide generated-code cache defaults to 100
+        # entries; one crawl wave alone emits several dozen codegen units,
+        # so consecutive waves thrashed the cache and re-ran Janino on
+        # wave-invariant sources every wave (measured as the bulk of the
+        # 0.3-1.0 s per lazy-localCheckpoint toRdd on the driver's
+        # critical path).  Sized so a whole run's distinct sources stay
+        # resident; ~a few KB of bytecode per entry.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
