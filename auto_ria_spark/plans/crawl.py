@@ -240,18 +240,22 @@ def _strip_stats(df: DataFrame) -> DataFrame:
 def _dedup_by_vin(cars: DataFrame) -> DataFrame:
     """Per-VIN dedup (lowest discovery rank wins), null VINs exempt.
 
-    Null-VIN rows are routed AROUND the window, not through it: a
-    ``Window.partitionBy(car_vin)`` would hash every null-VIN row into one
-    shuffle partition — at 10^8 saved cars with a large null-VIN share that
-    is a single straggler task.  Splitting before the shuffle keeps the
-    window's partitioning uniform; the union is schema-identical.
-    """
+    Null-VIN rows are routed AROUND the aggregation — not a perf split
+    but semantics: every null-VIN row is KEPT, while a group-by would
+    collapse them to one row.  The keep-lowest-rank rule itself is a
+    ``min_by(struct(row), struct(discovery_rank, url))`` aggregate
+    rather than a row_number window: (discovery_rank, url) is unique
+    within a VIN (URL uniqueness is structural, F1/F2), so the winner is
+    exactly the window's rn=1 row, but duplicates collapse in map-side
+    partial aggregation (no per-partition sort, and a hot VIN can never
+    become a straggler sort partition at 10^8 saved cars)."""
     with_vin = cars.filter(F.col("car_vin").isNotNull())
     no_vin = cars.filter(F.col("car_vin").isNull())
-    w_vin = Window.partitionBy("car_vin").orderBy("discovery_rank", "url")
     kept = (
-        with_vin.withColumn("__rn", F.row_number().over(w_vin))
-        .filter(F.col("__rn") == 1).drop("__rn")
+        with_vin.groupBy("car_vin")
+        .agg(F.min_by(F.struct(*cars.columns),
+                      F.struct("discovery_rank", "url")).alias("__w"))
+        .select("__w.*")
     )
     return kept.unionByName(no_vin)
 
@@ -583,10 +587,15 @@ class CrawlEngine:
         # pinned by test_resolve_log_tombstone_semantics case 4).  The log
         # grows by exactly |requeue| rows; the next run's append-vs-compact
         # decision folds the size in via the write footer below.
+        # size the log BEFORE the append (rollback moved it) so the
+        # counter is live and the increment below actually maintains it
+        # for a subsequent run_wave's append-vs-compact decision (the
+        # previous unconditional `_log_rows = None` made this guard dead
+        # code — ADVICE r6)
+        self._init_log_rows()
         snap = self.t["frontier"].write(
             log_adds(requeue, w, FRONTIER_COLS), "append", tag, nf)
-        if self._log_rows is not None:
-            self._log_rows["frontier"] += snap.get("rows", 0) or 0
+        self._log_rows["frontier"] += snap.get("rows", 0) or 0
 
     # ------------------------------------------------------------------ seed
     def start(self, seeds: list[dict]) -> None:
@@ -1287,13 +1296,21 @@ class CrawlEngine:
             "page_index int, pos_on_page int, url_norm string,"
             " priority_price int, priority_freshness long,"
             " url_hash long, host string, link_kind string")
-        E["rn_first"] = F.row_number().over(
-            Window.partitionBy("url_hash").orderBy(
-                "page_index", "pos_on_page", "page_url"))
+        # F1a as a min_by partial aggregate: the (page_index, pos_on_page,
+        # page_url) order key is unique per url_hash (one page emits one
+        # row per position), so the aggregate winner is exactly the old
+        # row_number()==1 row — but duplicate link rows now collapse
+        # map-side before the exchange and the per-partition sort the
+        # window paid disappears (guide §2.3 "aggregate before you
+        # shuffle")
+        E["first_occ_agg"] = F.min_by(
+            F.struct("page_index", "pos_on_page", "url_norm",
+                     "priority_price", "priority_freshness", "host",
+                     "link_kind"),
+            F.struct("page_index", "pos_on_page", "page_url")).alias("__w")
         E["rn_rank"] = F.row_number().over(
             Window.partitionBy("host").orderBy(
                 "page_index", "pos_on_page", "url_norm"))
-        E["is_rn1"] = F.col("__rn") == 1
         E["maybe_seen"] = F.col("maybe_seen")
         E["kind_listing_link"] = F.col("link_kind") == "listing"
         E["kind_car_link"] = F.col("link_kind") == "car"
@@ -1514,10 +1531,13 @@ class CrawlEngine:
         # F1a: within-wave first occurrence (min (page_index, pos) wins).
         # page_url tie-breaks the cross-chain case: two same-wave listing
         # pages linking the same car at equal (page_index, pos) must pick
-        # the same winner on every run (reproducibility contract).
+        # the same winner on every run (reproducibility contract).  The
+        # unique order key makes the min_by aggregate (E["first_occ_agg"])
+        # bit-equal to the former row_number window while collapsing
+        # duplicates map-side.
         link_rows = (
-            link_rows.withColumn("__rn", E["rn_first"])
-            .filter(E["is_rn1"]).drop("__rn", "page_url")
+            link_rows.groupBy("url_hash").agg(E["first_occ_agg"])
+            .select("url_hash", "__w.*")
         )
         # robots: disallowed URLs are never fetched and never enter seen
         link_rows = robots_gate(link_rows, self.robots)

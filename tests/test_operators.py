@@ -172,3 +172,61 @@ def test_cuckoo_insert_probe_delete(spark):
     kept = _urls_df(spark, 1000, 2000)
     still = cuckoo.probe_cuckoo(kept, flt2, num_shards=SHARDS, n_buckets=NB)
     assert still.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_salt_n_for_sizing():
+    from auto_ria_spark.operators.politeness import salt_n_for
+
+    # at/below the per-partition target: single exact window
+    assert salt_n_for(0, 1024) == 1
+    assert salt_n_for(1024, 1024) == 1
+    # just above: two salted groups; then ceil growth
+    assert salt_n_for(1025, 1024) == 2
+    assert salt_n_for(10 * 1024, 1024) == 10
+    assert salt_n_for(10 * 1024 + 1, 1024) == 11
+    # hot-host extreme: capped so phase 2 stays tiny
+    assert salt_n_for(10**10, 1024) == 1 << 14
+
+
+def test_top_b_per_host_salt_invariant(spark):
+    """The selection is IDENTICAL at every salt width (phase 1 keeps each
+    salted group's top-B — a superset of the per-host top-B), including
+    the salt_n==1 single-window fast path the adaptive sizing emits for
+    small pending sets."""
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("host"), (F.col("id") % 3)).alias("host"),
+        F.col("id").alias("discovery_rank"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    expect = sorted(
+        (r.host, r.discovery_rank)
+        for r in top_b_per_host(df, 5, ["discovery_rank"], salt_n=64)
+        .collect())
+    for salt_n in (1, 2, 8):
+        got = sorted(
+            (r.host, r.discovery_rank)
+            for r in top_b_per_host(df, 5, ["discovery_rank"],
+                                    salt_n=salt_n).collect())
+        assert got == expect, salt_n
+    # salt_n == 1 must not build the salted pre-pass at all
+    plan = top_b_per_host(df, 5, ["discovery_rank"], salt_n=1) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" not in plan
+    assert "__salt" in top_b_per_host(df, 5, ["discovery_rank"], salt_n=2) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_engine_tracks_hostmax_for_salt_sizing(spark, tmp_path):
+    """C6 wiring: after a wave the engine records the hottest host's
+    pending count off the stats job (drives the next wave's salt_n)."""
+    from auto_ria_spark.config import CrawlConfig
+    from auto_ria_spark.plans.crawl import CrawlEngine
+    from auto_ria_spark.sources import worldgen
+
+    cfg = CrawlConfig(host_budget=5, phone_budget=5, backoff_base_s=1,
+                      wave_seconds=5, num_shards=4, shuffle_partitions=4)
+    pages = worldgen.pages_local_df(spark, worldgen.build_world_local(1, 30, 10))
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), cfg, pages=pages)
+    assert eng._hostmax is None
+    eng.run(seeds=worldgen.seed_rows(1), max_waves=2, stop_after_wave=1)
+    assert isinstance(eng._hostmax, int) and eng._hostmax >= 0

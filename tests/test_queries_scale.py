@@ -303,3 +303,51 @@ def test_ivf_init_order_based_and_empty_input_raises(spark, tmp_path):
         .parquet(f"{sfe}/embeddings.parquet")
     with pytest.raises(ValueError, match="empty training sample"):
         Q.ivf_cells(spark, sfe)
+
+
+def test_hex_slice_string_min_equals_numeric_min():
+    """r7 MinHash rewrite invariant: md5 hex slices are fixed-length
+    lowercase [0-9a-f], where lexicographic order equals numeric order —
+    so aggregating min over the STRING slices then converting once per
+    group is exactly the min of the per-row conversions."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        digests = [hashlib.md5(str(rng.random()).encode()).hexdigest()
+                   for _ in range(rng.randint(1, 40))]
+        for off in (0, 8, 16, 24):
+            slices = [d[off:off + 8] for d in digests]
+            assert int(min(slices), 16) == min(int(s, 16) for s in slices)
+
+
+def test_dedup_components_touched_only_equals_full_labels(spark):
+    """r7 CC rewrite invariant: iterating only over edge-incident nodes
+    and re-attaching isolated docs as their own component afterwards
+    yields the same labels as seeding every node (isolated nodes have no
+    neighbors to take a min over and contribute nothing to any min)."""
+    from auto_ria_spark.util import local_df
+
+    edges_raw = [(1, 2), (2, 3), (7, 9), (20, 21)]
+    nodes = list(range(25))
+    half = local_df(spark, edges_raw, "src long, dst long")
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    full_labels = local_df(spark, [(n, n) for n in nodes],
+                           "doc_id long, component long")
+    full, _ = Q.connected_components(full_labels, edges)
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    part_labels = touched.select(
+        "doc_id", F.col("doc_id").alias("component"))
+    part, _ = Q.connected_components(part_labels, edges)
+    node_df = local_df(spark, [(n,) for n in nodes], "doc_id long")
+    stitched = (
+        node_df.join(part.withColumnRenamed("component", "__c"),
+                     "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("__c"), F.col("doc_id")).alias("component")))
+    a = sorted((r.doc_id, r.component) for r in full.collect())
+    b = sorted((r.doc_id, r.component) for r in stitched.collect())
+    assert a == b
