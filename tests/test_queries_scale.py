@@ -124,9 +124,11 @@ def test_jaccard_join_side_df_capped(spark):
 
 def test_vin_dedup_plan_routes_nulls_around_window(spark):
     """Skew audit: the VIN-dedup physical plan must filter
-    isnotnull(car_vin) BEFORE the Window (null-VIN rows bypass the
-    shuffle entirely) and union the null branch back — never a window
-    whose partition key admits nulls."""
+    isnotnull(car_vin) BEFORE the shuffle (null-VIN rows bypass it
+    entirely, preserved verbatim by the Union arm) — and since r7 the
+    dedup itself is a min_by AGGREGATE, not a window: the exchange sits
+    above a partial aggregate, so duplicates collapse map-side and no
+    per-partition sort exists for a hot VIN to pin."""
     import io
     from contextlib import redirect_stdout
 
@@ -143,15 +145,17 @@ def test_vin_dedup_plan_routes_nulls_around_window(spark):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     tree = plan.split("(1)")[0]          # the physical operator tree
-    assert "Window" in tree and "Union" in tree
-    # below the window's Exchange there must be a Filter (the notnull
-    # predicate) before the source — i.e. null rows never enter the
-    # shuffle; the null branch is the separate Union arm
+    assert "Window" not in tree, tree    # r7: aggregate, not window+sort
+    assert "Union" in tree and "Aggregate" in tree
+    # below the exchange there must be a partial Aggregate and then the
+    # notnull Filter before the source — nulls never enter the shuffle,
+    # dups collapse before it; the null branch is the separate Union arm
     ex = tree.index("Exchange")
+    agg_below = tree.find("Aggregate", ex)
     flt = tree.find("Filter", ex)
     src = tree.find("Range", ex)
-    assert 0 < flt < src, tree
-    assert tree.index("Window") < ex, tree
+    assert 0 < agg_below < src, tree
+    assert agg_below < flt < src, tree
 
 
 def test_ivf_assigns_every_vector_to_one_cell(spark):
