@@ -89,6 +89,7 @@ def assert_match(eng, oracle, db_urls=None):
         assert got[url] == row, f"{url}: {got[url]} != {row}"
 
 
+@pytest.mark.soak
 def test_golden_crawl_unlimited(spark, tmp_path):
     eng, oracle, stats = run_both(spark, tmp_path, _cfg())
     assert_match(eng, oracle)
@@ -116,6 +117,7 @@ def test_golden_crawl_multi_host(spark, tmp_path):
     assert_match(eng, oracle)
 
 
+@pytest.mark.soak
 def test_golden_crawl_small_budget_same_result(spark, tmp_path):
     # politeness budgets delay but never change the outcome
     cfg = _cfg(host_budget=7, phone_budget=7)
@@ -251,6 +253,7 @@ def test_recrawl_cuckoo_refetches_exactly_stale_set(spark, tmp_path):
         _cfg(seen_filter="cuckoo", cuckoo_buckets_per_shard=1 << 10))
 
 
+@pytest.mark.soak
 def test_recrawl_bloom_rebuild_path(spark, tmp_path):
     """Same semantics under Bloom, which cannot delete: recrawl falls back
     to rebuilding the filter from the exact seen table."""
@@ -267,6 +270,7 @@ def test_recrawl_dataframe_path(spark, tmp_path):
         k=3, via_df=True)
 
 
+@pytest.mark.soak
 def test_recrawl_on_torn_warehouse_builds_on_consistent_cut(
         spark, tmp_path):
     """A crash can leave the frontier one wave ahead of the other tables;

@@ -18,6 +18,7 @@ and pins the whole-run invariants:
 """
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -35,6 +36,7 @@ def _state_metrics(eng, kind):
     return {r["wave"]: r.asDict() for r in rows}
 
 
+@pytest.mark.soak
 def test_delta_log_soak_30_waves(spark, tmp_path):
     cfg = CrawlConfig(host_budget=3, phone_budget=12, backoff_base_s=1,
                       wave_seconds=5, num_shards=4, shuffle_partitions=8,

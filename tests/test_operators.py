@@ -1,6 +1,7 @@
 """Unit tests: Bloom seen-set shards, politeness top-B, robots gate."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -51,6 +52,7 @@ def test_bloom_incremental_merge_preserves_members(spark):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
+@pytest.mark.soak
 def test_bloom_probe_production_sized_shards(spark):
     """Scale check: the cogrouped probe loads each shard's bitset ONCE per
     task, so production-sized shards (2^24 bits = 2 MiB each here; 2^27-2^30

@@ -53,6 +53,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert _state(eng2) == _state(ref)
 
 
+@pytest.mark.soak
 def test_resume_rolls_back_torn_commit(spark, tmp_path):
     pages, seeds = _world(spark)
     eng1 = CrawlEngine(spark, str(tmp_path / "torn"), CFG, pages=pages)
@@ -99,6 +100,7 @@ def _sat_state(eng):
     return cars, seen
 
 
+@pytest.mark.soak
 def test_resume_from_deep_log(spark, tmp_path, monkeypatch):
     """Kill point MID-LOG: with compaction disabled the frontier log is
     pure appends (one delta per wave); a crash 6 waves deep resumes from
@@ -124,6 +126,7 @@ def test_resume_from_deep_log(spark, tmp_path, monkeypatch):
     assert _sat_state(eng2) == _sat_state(ref)
 
 
+@pytest.mark.soak
 def test_resume_immediately_after_compaction(spark, tmp_path):
     """Kill point POST-COMPACTION: with compact_factor below 1 every
     non-empty wave compacts (the log is rewritten each wave); a crash
@@ -141,6 +144,7 @@ def test_resume_immediately_after_compaction(spark, tmp_path):
     assert _sat_state(eng2) == _sat_state(ref)
 
 
+@pytest.mark.soak
 def test_resume_rolls_back_torn_compaction(spark, tmp_path):
     """Kill point TORN COMPACTION: the frontier commits a compaction
     (full rewrite, log reset) tagged one wave AHEAD of every other table
